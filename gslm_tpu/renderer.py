@@ -1,0 +1,128 @@
+"""High-level render API.
+
+Functional counterpart of the reference's render wrappers
+(gaussian_renderer/__init__.py:18-128 single view,
+gaussian_renderer/batch_render.py:8-135 batched). Returns the same logical
+contract: clamped RGB image, per-Gaussian radii/visibility, inverse-depth
+map — as a pytree instead of a dict of CUDA tensors.
+
+Batching is ``jax.vmap`` over the camera pytree: the per-Gaussian preprocess
+and the tile pipeline batch across views inside one XLA program, which is
+what the reference's fused BatchGaussianRasterizer launch achieves, and with
+a ``data``-sharded camera batch under pjit it spreads views across chips.
+Unlike the reference, batched exposure works (batch_render.py:112 raises
+NotImplementedError).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gslm_tpu.models.cameras import Camera, CameraBatch
+from gslm_tpu.models.gaussians import GaussianParams
+from gslm_tpu.ops.projection import preprocess
+from gslm_tpu.ops.rasterize_ref import rasterize_ref
+from gslm_tpu.ops.rasterize_tiled import RasterConfig, rasterize_tiled
+from gslm_tpu.struct import pytree_dataclass
+
+
+@pytree_dataclass
+class RenderOutput:
+    render: jnp.ndarray       # (3, H, W) in [0, 1]
+    invdepth: jnp.ndarray     # (1, H, W)
+    radii: jnp.ndarray        # (P,) int32
+    visibility: jnp.ndarray   # (P,) bool
+    n_duplicates: jnp.ndarray  # () int32 diagnostics
+    overflow: jnp.ndarray      # () int32
+    max_tile_load: jnp.ndarray  # () int32
+
+
+def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    """image (3,H,W), exposure (3,4) affine: out_d = Σ_c img_c E[c,d] + E[d,3]
+    (reference gaussian_renderer/__init__.py:113-115). Elementwise mul+sum so
+    batched and single-view renders agree bitwise."""
+    return (jnp.sum(image[:, None] * exposure[:3, :3][:, :, None, None], axis=0)
+            + exposure[:3, 3][:, None, None])
+
+
+def render(params: GaussianParams, camera: Camera, bg: jnp.ndarray, *,
+           config: RasterConfig = RasterConfig(),
+           active_sh_degree: int | None = None,
+           scaling_modifier: float = 1.0,
+           use_trained_exp: bool = False,
+           alive: jnp.ndarray | None = None,
+           mean2d_offset: jnp.ndarray | None = None,
+           impl: str = "tiled") -> RenderOutput:
+    """Render one view. ``impl`` ∈ {"tiled", "ref"} selects the production
+    tile pipeline or the dense golden rasterizer."""
+    if active_sh_degree is None:
+        active_sh_degree = params.sh_degree
+
+    splats = preprocess(params, camera, active_sh_degree=active_sh_degree,
+                        antialiasing=config.antialiasing,
+                        scaling_modifier=scaling_modifier, alive=alive,
+                        mean2d_offset=mean2d_offset)
+
+    if impl == "ref":
+        out = rasterize_ref(splats, camera.height, camera.width, bg)
+        out.setdefault("n_duplicates", jnp.int32(0))
+        out.setdefault("overflow", jnp.int32(0))
+        out.setdefault("max_tile_load", jnp.int32(0))
+    else:
+        out = rasterize_tiled(splats, camera.height, camera.width, bg, config)
+
+    image = out["render"]
+    if use_trained_exp:
+        image = apply_exposure(image, params.exposure[camera.exposure_idx])
+    image = jnp.clip(image, 0.0, 1.0)
+
+    return RenderOutput(render=image, invdepth=out["invdepth"],
+                        radii=splats.radius, visibility=splats.radius > 0,
+                        n_duplicates=jnp.asarray(out["n_duplicates"], jnp.int32),
+                        overflow=jnp.asarray(out["overflow"], jnp.int32),
+                        max_tile_load=jnp.asarray(out["max_tile_load"], jnp.int32))
+
+
+def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
+                 *, config: RasterConfig = RasterConfig(),
+                 active_sh_degree: int | None = None,
+                 scaling_modifier: float = 1.0,
+                 use_trained_exp: bool = False,
+                 alive: jnp.ndarray | None = None,
+                 mean2d_offset: jnp.ndarray | None = None,
+                 impl: str = "tiled") -> RenderOutput:
+    """Render a padded camera batch: vmap of ``render`` over the view axis.
+
+    ``mean2d_offset`` is deliberately **unbatched** ((P, 2)): its cotangent
+    under the vmap sums over views, which is exactly the accumulated
+    viewspace-gradient statistic densification needs (reference
+    batch_render.py:120-133 + gaussian_model.py:561-563).
+
+    Output fields gain a leading B axis; ``radii`` is (B, P) — reduce with
+    max for the reference's ``max_radii`` / any for ``visibility_filter``.
+    """
+    fn = functools.partial(render, config=config,
+                           active_sh_degree=active_sh_degree,
+                           scaling_modifier=scaling_modifier,
+                           use_trained_exp=use_trained_exp, impl=impl)
+
+    def one_view(camera):
+        return fn(params, camera, bg, alive=alive, mean2d_offset=mean2d_offset)
+
+    batched_cam = Camera(
+        world_view=cameras.world_view, full_proj=cameras.full_proj,
+        campos=cameras.campos, tanfovx=cameras.tanfovx,
+        tanfovy=cameras.tanfovy, exposure_idx=cameras.exposure_idx,
+        height=cameras.height, width=cameras.width)
+    return jax.vmap(one_view)(batched_cam)
+
+
+_STATIC = ("config", "active_sh_degree", "scaling_modifier", "use_trained_exp",
+           "impl")
+
+# Jitted entry points (compile once per (shape, static-config) signature).
+render_jit = jax.jit(render, static_argnames=_STATIC)
+batch_render_jit = jax.jit(batch_render, static_argnames=_STATIC)
