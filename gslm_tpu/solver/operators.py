@@ -1,0 +1,131 @@
+"""Matrix-free Jacobian operators over the render+loss pipeline.
+
+Replaces the reference's ``LinearSolverFunctions``
+(solver/solver_functions.py:15-138): where the reference swaps every
+parameter tensor for a torch-fwAD dual inside a contextmanager
+(gaussian_model.py:71-101) to get J·v, and re-renders + ``loss.backward(v,
+retain_graph=True)`` per micro-batch to get Jᵀ·v (solver_functions.py:
+101-132), here the whole pipeline is a pure function r(θ) and
+
+    J·v  = jax.jvp(r, θ, v)          (one linearized forward)
+    Jᵀ·u = jax.vjp(r, θ)(u)          (linearization built once, reused for
+                                      every subsequent Jᵀ·u — the reference
+                                      re-renders for each one)
+
+Micro-batching over views (the reference's ``batch_size`` chunking,
+solver_functions.py:38-49) is a ``lax.map`` over camera chunks inside the
+residual function, so it lives *under* the same jvp/vjp and the partial
+results never leave the device. Parameter-group masks and the alive/splat
+mask (solver/gaussian_model_state.py:30-48) are applied to tangents and
+cotangents.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gslm_tpu.models import gaussians as G
+from gslm_tpu.models.gaussians import GaussianParams
+from gslm_tpu.solver.residuals import ResidualState, res_dot, res_saxpy
+
+
+def _mask_fn(group_mask: dict[str, float] | None, alive: jnp.ndarray | None):
+    def apply(v: GaussianParams) -> GaussianParams:
+        if group_mask is not None:
+            v = G.apply_group_mask(v, group_mask)
+        if alive is not None:
+            v = G.apply_splat_mask(v, alive.astype(v.xyz.dtype))
+        return v
+    return apply
+
+
+class LMOperators:
+    """Bundle of (matvec, matvec_T, dots, saxpys) closures around a residual
+    function and a parameter point. Pure-functional: building one performs
+    one linearizing forward pass; it holds no mutable state."""
+
+    def __init__(self, residual_fn: Callable[[GaussianParams], ResidualState],
+                 params: GaussianParams,
+                 group_mask: dict[str, float] | None = None,
+                 alive: jnp.ndarray | None = None,
+                 reuse_linearization: bool = True):
+        self.residual_fn = residual_fn
+        self.params = params
+        self._mask = _mask_fn(group_mask, alive)
+        self.reuse_linearization = reuse_linearization
+        if reuse_linearization:
+            self.residual, self._vjp_fn = jax.vjp(residual_fn, params)
+        else:
+            self.residual = residual_fn(params)
+            self._vjp_fn = None
+
+    # -- operator protocol (reference solver_functions.py:83-138) --------
+    def matvec(self, v: GaussianParams) -> ResidualState:
+        """J·v via forward-mode."""
+        _, jv = jax.jvp(self.residual_fn, (self.params,), (self._mask(v),))
+        return jv
+
+    def matvec_T(self, u: ResidualState) -> GaussianParams:
+        """Jᵀ·u via reverse-mode."""
+        if self._vjp_fn is not None:
+            (g,) = self._vjp_fn(u)
+        else:
+            _, vjp_fn = jax.vjp(self.residual_fn, self.params)
+            (g,) = vjp_fn(u)
+        return self._mask(g)
+
+    def get_initial_solution(self) -> GaussianParams:
+        return G.zeros_like_params(self.params)
+
+    @property
+    def loss_scalar(self):
+        return self.residual.loss_scalar
+
+    # -- generalized vector algebra, dispatching on space -----------------
+    @staticmethod
+    def dot(a, b, damp=1.0):
+        if isinstance(a, ResidualState):
+            assert damp == 1.0 or not isinstance(damp, dict)
+            return res_dot(a, b) * (1.0 if damp == 1.0 else damp)
+        return G.vdot(a, b, damp)
+
+    @staticmethod
+    def saxpy(alpha, x, y):
+        if isinstance(x, ResidualState):
+            return res_saxpy(alpha, x, y)
+        return G.saxpy(alpha, x, y)
+
+    @staticmethod
+    def dampmul_for(damp: dict[str, float]):
+        """D·x for a per-group damping dict (GaussianModelDampMatrix analog)."""
+        def dampmul(x: GaussianParams) -> GaussianParams:
+            return x.replace(**{g: getattr(x, g) * damp[g]
+                                for g in G.PARAM_GROUPS})
+        return dampmul
+
+
+def chunked_residual_fn(residual_of_batch: Callable, cameras_stacked,
+                        chunk_size: int):
+    """Micro-batch a residual function over the view axis with lax.map.
+
+    ``cameras_stacked``: a CameraBatch whose leading axis B is a multiple of
+    chunk_size (pad views if needed). Returns r(θ) evaluating all chunks
+    sequentially on-device — bounded memory like the reference's batch_size
+    loop (solver_functions.py:38-49), but inside one traced program.
+    """
+    def split(x):
+        b = x.shape[0]
+        assert b % chunk_size == 0
+        return x.reshape(b // chunk_size, chunk_size, *x.shape[1:])
+
+    chunked = jax.tree.map(split, cameras_stacked)
+
+    def residual_fn(params):
+        out = jax.lax.map(lambda cams: residual_of_batch(params, cams), chunked)
+        return jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), out)
+
+    return residual_fn
