@@ -106,6 +106,8 @@ class CameraBatch:
     widths: jnp.ndarray        # (B,) int32
     gt_image: jnp.ndarray      # (B, 3, H, W) padded ground truth
     alpha_mask: jnp.ndarray    # (B, 1, H, W); all-ones when unused
+    invdepth_gt: jnp.ndarray   # (B, 1, H, W) monocular inverse depth (0 if none)
+    depth_mask: jnp.ndarray    # (B, 1, H, W) depth validity (0 if none)
     height: int                # padded canvas H (static)
     width: int                 # padded canvas W (static)
 
@@ -151,11 +153,17 @@ def batch_from_metas(metas: list[CameraMeta], pad_hw: tuple[int, int] | None = N
 
     gt = np.zeros((b, 3, max_h, max_w), dtype=np.float32)
     am = np.ones((b, 1, max_h, max_w), dtype=np.float32)
+    dg = np.zeros((b, 1, max_h, max_w), dtype=np.float32)
+    dm = np.zeros((b, 1, max_h, max_w), dtype=np.float32)
     for i, m in enumerate(metas):
         if m.image is not None:
             gt[i, :, :m.height, :m.width] = m.image
         if m.alpha_mask is not None:
             am[i, :, :m.height, :m.width] = m.alpha_mask
+        if m.invdepthmap is not None and m.depth_reliable:
+            dg[i, :, :m.height, :m.width] = m.invdepthmap
+            if m.depth_mask is not None:
+                dm[i, :, :m.height, :m.width] = m.depth_mask
 
     return CameraBatch(
         world_view=jnp.asarray(np.stack([m.world_view for m in metas])),
@@ -170,4 +178,5 @@ def batch_from_metas(metas: list[CameraMeta], pad_hw: tuple[int, int] | None = N
         heights=jnp.asarray(np.array([m.height for m in metas], dtype=np.int32)),
         widths=jnp.asarray(np.array([m.width for m in metas], dtype=np.int32)),
         gt_image=jnp.asarray(gt), alpha_mask=jnp.asarray(am),
+        invdepth_gt=jnp.asarray(dg), depth_mask=jnp.asarray(dm),
         height=max_h, width=max_w)

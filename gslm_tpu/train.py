@@ -1,0 +1,274 @@
+"""First-order (Adam) 3DGS trainer.
+
+CLI + training loop equivalent of the reference's train.py:43-286: random
+view per iteration, (1-λ)L1 + λ(1-SSIM) (+ scheduled depth L1), Adam with
+per-group LRs, SH-degree ramp, densify/prune window, opacity resets,
+periodic eval/save/checkpoint. The per-iteration work (render, loss, grads,
+Adam, densification stats) is ONE jitted XLA program; densification events
+and opacity resets are separate jitted calls on the host schedule.
+
+Usage: python -m gslm_tpu.train -s <dataset> -m <output> [flags]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import random
+import sys
+import time
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslm_tpu import config as cfg_mod
+from gslm_tpu.checkpoint import load_checkpoint, save_checkpoint
+from gslm_tpu.densify import add_densification_stats, densify_and_prune, reset_opacity
+from gslm_tpu.models.cameras import CameraBatch, batch_from_metas
+from gslm_tpu.models.scene import Scene
+from gslm_tpu.optim import adam_step, group_learning_rates, init_adam
+from gslm_tpu.ops.rasterize_tiled import RasterConfig
+from gslm_tpu.solver.residuals import scalar_training_loss
+from gslm_tpu.utils.general import get_expon_lr_func
+from gslm_tpu.utils.image import psnr
+
+
+def make_raster_config(tpu: cfg_mod.TpuParams, pipe: cfg_mod.PipelineParams,
+                       height: int, width: int, n_gaussians: int) -> RasterConfig:
+    """Heuristic rasterizer capacities for a scene size."""
+    tiles = (-(-height // 16)) * (-(-width // 16))
+    dup = min(tpu.dup_capacity, max(1 << 14, 16 * n_gaussians))
+    return RasterConfig(dup_capacity=dup,
+                        max_per_tile=tpu.max_per_tile,
+                        tile_chunk=min(tpu.tile_chunk, tiles),
+                        antialiasing=pipe.antialiasing)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "opt", "active_sh_degree", "use_exp",
+                     "sparse_adam", "update_stats"))
+def train_step(params, aux, opt_state, cam: CameraBatch, bg, step,
+               spatial_lr_scale, depth_weight, *, rcfg: RasterConfig,
+               opt: cfg_mod.OptimizationParams, active_sh_degree: int,
+               use_exp: bool, sparse_adam: bool, update_stats: bool):
+    """One Adam iteration over a (usually B=1) camera batch."""
+
+    def loss_fn(p, m2d):
+        loss, info = scalar_training_loss(
+            p, cam, bg, config=rcfg, lambda_dssim=opt.lambda_dssim,
+            use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
+            alive=aux.alive, mean2d_offset=m2d)
+        out = info["render"]
+        # depth regularization (reference train.py:129-140)
+        npix = jnp.maximum(jnp.sum(cam.depth_mask), 1.0)
+        depth_l1 = jnp.sum(jnp.abs(out.invdepth - cam.invdepth_gt)
+                           * cam.depth_mask) / npix
+        loss = loss + depth_weight * depth_l1
+        return loss, (info, depth_l1)
+
+    m2d0 = jnp.zeros((params.capacity, 2), jnp.float32)
+    (loss, (info, depth_l1)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+    g_params, g_m2d = grads
+
+    out = info["render"]
+    radii = jnp.max(out.radii, axis=0)             # (P,) over batch views
+    if update_stats:
+        aux = add_densification_stats(aux, g_m2d, radii)
+
+    lrs = group_learning_rates(opt, step, spatial_lr_scale)
+    visible = (radii > 0) if sparse_adam else None
+    params, opt_state = adam_step(params, g_params, opt_state, lrs, visible)
+
+    metrics = {"loss": loss, "l1": jnp.mean(info["l1"]),
+               "depth_l1": depth_l1,
+               "psnr": jnp.mean(psnr(out.render, cam.gt_image)),
+               "overflow": jnp.max(out.overflow),
+               "max_tile_load": jnp.max(out.max_tile_load)}
+    return params, aux, opt_state, metrics
+
+
+def evaluate(params, aux, cams: CameraBatch, bg, rcfg, active_sh_degree,
+             use_exp) -> dict:
+    from gslm_tpu.renderer import batch_render_jit
+    out = batch_render_jit(params, cams, bg, config=rcfg,
+                           active_sh_degree=active_sh_degree,
+                           use_trained_exp=use_exp, alive=aux.alive)
+    l1 = jnp.mean(jnp.abs(out.render - cams.gt_image))
+    return {"l1": float(l1),
+            "psnr": float(jnp.mean(psnr(out.render, cams.gt_image)))}
+
+
+def training(args, *, lm_phase_hook=None):
+    model = cfg_mod.extract(args, cfg_mod.ModelParams)
+    opt = cfg_mod.extract(args, cfg_mod.OptimizationParams)
+    pipe = cfg_mod.extract(args, cfg_mod.PipelineParams)
+    tpu = cfg_mod.extract(args, cfg_mod.TpuParams)
+
+    scene = Scene(model.source_path, model.model_path, images=model.images,
+                  depths=model.depths, resolution=model.resolution,
+                  white_background=model.white_background,
+                  eval_split=model.eval, train_test_exp=model.train_test_exp,
+                  sh_degree=model.sh_degree,
+                  capacity=tpu.capacity or None)
+    cfg_mod.save_cfg_args(model.model_path, args)
+
+    params, aux = scene.params, scene.aux
+    opt_state = init_adam(params)
+    first_iter = 0
+    spatial_lr_scale = scene.cameras_extent
+    if getattr(args, "start_checkpoint", ""):
+        params, aux, opt_state, first_iter, spatial_lr_scale = \
+            load_checkpoint(args.start_checkpoint)
+        print(f"Restored checkpoint at iteration {first_iter}")
+
+    train_metas = scene.get_train_cameras()
+    all_train = batch_from_metas(train_metas)
+    test_metas = scene.get_test_cameras()
+    all_test = batch_from_metas(
+        test_metas, pad_hw=(all_train.height, all_train.width)) \
+        if test_metas else None
+
+    rcfg = make_raster_config(tpu, pipe, all_train.height, all_train.width,
+                              params.capacity)
+    bg_default = jnp.ones(3) if model.white_background else jnp.zeros(3)
+    depth_w_fn = get_expon_lr_func(opt.depth_l1_weight_init,
+                                   opt.depth_l1_weight_final,
+                                   max_steps=opt.iterations)
+    sparse = opt.optimizer_type == "sparse_adam"
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(model.model_path)
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+
+    test_iterations = set(getattr(args, "test_iterations", None)
+                          or [7000, 30000])
+    save_iterations = set(getattr(args, "save_iterations", None)
+                          or [7000, 30000])
+    ckpt_iterations = set(getattr(args, "checkpoint_iterations", None) or [])
+
+    key = jax.random.PRNGKey(0)
+    indices: list[int] = []
+    ema_loss = 0.0
+    t_start = time.time()
+    jvp_start = getattr(args, "jvp_start", opt.iterations + 1)
+
+    from tqdm import tqdm
+    progress = tqdm(range(first_iter, opt.iterations), desc="Training")
+    for it_idx in progress:
+        iteration = it_idx + 1
+        active_sh = min(iteration // 1000, params.sh_degree)
+        if lm_phase_hook is not None and iteration >= jvp_start:
+            # LM outer loop (train_lm.py drives it); eval/save/checkpoint
+            # below still apply (reference train_jvp.py:294-341)
+            params, aux, opt_state = lm_phase_hook(
+                scene, params, aux, opt_state, iteration, all_train, rcfg,
+                bg_default)
+        else:
+            if not indices:
+                indices = list(range(len(train_metas)))
+                random.shuffle(indices)
+            idx = indices.pop()
+            cam = jax.tree.map(lambda x: x[idx:idx + 1], all_train)
+
+            if opt.random_background:
+                key, sub = jax.random.split(key)
+                bg = jax.random.uniform(sub, (3,))
+            else:
+                bg = bg_default
+
+            in_densify = iteration < opt.densify_until_iter
+            params, aux, opt_state, metrics = train_step(
+                params, aux, opt_state, cam, bg, iteration, spatial_lr_scale,
+                depth_w_fn(iteration) if train_metas[idx].depth_reliable else 0.0,
+                rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
+                use_exp=model.train_test_exp, sparse_adam=sparse,
+                update_stats=in_densify)
+
+            # --- densification schedule (reference train.py:160-174) ---
+            if in_densify and iteration > opt.densify_from_iter \
+                    and iteration % opt.densification_interval == 0:
+                key, sub = jax.random.split(key)
+                size_thr = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                params, aux, opt_state, info = densify_and_prune(
+                    params, aux, opt_state, sub, opt.densify_grad_threshold,
+                    0.005, scene.cameras_extent, size_thr, opt.percent_dense)
+                if int(info["n_dropped"]) > 0:
+                    print(f"\n[ITER {iteration}] capacity full: dropped "
+                          f"{int(info['n_dropped'])} densification requests "
+                          f"(capacity={params.capacity})")
+            if iteration % opt.opacity_reset_interval == 0 or (
+                    model.white_background and iteration == opt.densify_from_iter):
+                params, opt_state = reset_opacity(params, opt_state)
+
+            loss_f = float(metrics["loss"])
+            ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+            if iteration % 10 == 0:
+                progress.set_postfix({"Loss": f"{ema_loss:.7f}",
+                                      "P": int(np.asarray(aux.num_alive))})
+            if writer is not None:
+                writer.add_scalar("train_loss_patches/total_loss", loss_f,
+                                  iteration)
+                writer.add_scalar("train_loss_patches/l1_loss",
+                                  float(metrics["l1"]), iteration)
+
+        if iteration in test_iterations:
+            stats = {"train": evaluate(params, aux,
+                                       jax.tree.map(lambda x: x[:min(5, len(train_metas))], all_train),
+                                       bg_default, rcfg, active_sh,
+                                       model.train_test_exp)}
+            if all_test is not None:
+                stats["test"] = evaluate(params, aux, all_test, bg_default,
+                                         rcfg, active_sh, model.train_test_exp)
+            print(f"\n[ITER {iteration}] " + "  ".join(
+                f"{k}: L1 {v['l1']:.4f} PSNR {v['psnr']:.2f}"
+                for k, v in stats.items()))
+            if writer is not None:
+                for k, v in stats.items():
+                    writer.add_scalar(f"{k}/loss_viewpoint_psnr", v["psnr"],
+                                      iteration)
+        if iteration in save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, params, aux)
+        if iteration in ckpt_iterations:
+            save_checkpoint(os.path.join(model.model_path,
+                                         f"chkpnt{iteration}.npz"),
+                            params, aux, opt_state, iteration,
+                            spatial_lr_scale)
+
+    print(f"\nTraining complete in {time.time() - t_start:.1f}s")
+    scene.params, scene.aux = params, aux
+    return scene, params, aux, opt_state
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description="TPU 3DGS training")
+    cfg_mod.add_all_args(parser)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default="")
+    parser.add_argument("--quiet", action="store_true")
+    return parser
+
+
+def main():
+    parser = build_parser()
+    args = parser.parse_args()
+    args.save_iterations.append(args.iterations)
+    print("Optimizing " + args.model_path)
+    training(args)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Two-phase Levenberg–Marquardt trainer.
+
+Equivalent of the reference's train_jvp.py:56-341: first-order Adam
+iterations until ``--jvp_start``, then LM outer steps — a contiguous window
+of ``--num_images`` views, matrix-free damped CGLS on the linearized
+residuals (J·v / Jᵀ·v through the renderer), and a backtracking line search
+on a fixed validation view set.
+
+TPU-first difference: one LM outer step — initial forward, the whole CGLS
+recurrence (JVP/VJP matvecs, damped dots), the 7-point line search, and the
+parameter update — is a single jitted XLA program with zero host syncs,
+where the reference pays a host round-trip per CG scalar
+(gaussian_model_state.py:252-273) and re-renders for every Jᵀv.
+
+Usage: python -m gslm_tpu.train_lm -s <dataset> -m <output> [flags]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslm_tpu import config as cfg_mod
+from gslm_tpu.models import gaussians as G
+from gslm_tpu.models.cameras import CameraBatch
+from gslm_tpu.ops.rasterize_tiled import RasterConfig
+from gslm_tpu.solver.cg import cgls_damped_unrolled
+from gslm_tpu.solver.operators import LMOperators
+from gslm_tpu.solver.residuals import batch_residuals
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "lm", "active_sh_degree", "use_exp",
+                     "lambda_dssim"))
+def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
+                  *, rcfg: RasterConfig, lm: cfg_mod.LMParams,
+                  active_sh_degree: int, use_exp: bool,
+                  lambda_dssim: float = 0.2):
+    """One LM outer step (reference train_jvp.py:221-288). Returns
+    (new_params, info dict)."""
+
+    def residual_fn(p):
+        return batch_residuals(p, window, bg, config=rcfg,
+                               lambda_dssim=lambda_dssim,
+                               disable_ssim=lm.disable_ssim,
+                               use_trained_exp=use_exp,
+                               active_sh_degree=active_sh_degree, alive=alive)
+
+    def val_loss(p):
+        r = batch_residuals(p, val, bg, config=rcfg,
+                            lambda_dssim=lambda_dssim,
+                            disable_ssim=lm.disable_ssim,
+                            use_trained_exp=use_exp,
+                            active_sh_degree=active_sh_degree, alive=alive)
+        return r.loss_scalar
+
+    group_mask = G.param_group_mask(
+        mask_xyz=lm.mask_xyz)  # reference masks xyz only (train_jvp.py:221)
+    ops = LMOperators(residual_fn, params, group_mask=group_mask, alive=alive)
+    start_loss = ops.loss_scalar
+
+    b = jax.tree.map(jnp.negative, ops.residual)     # b = -r (train_jvp.py:243)
+    damp = lm.damp_dict()
+    s = cgls_damped_unrolled(
+        ops.matvec, ops.matvec_T, ops.dot, ops.saxpy,
+        LMOperators.dampmul_for(damp), b, ops.get_initial_solution(), damp,
+        max_iter=lm.cg_max_iter, restart_iter=lm.cg_restart_iter,
+        check_divergence=lm.check_divergence)
+
+    # line search: alpha0 halved line_search_steps times, best val loss wins
+    alphas = jnp.asarray([lm.line_search_alpha0 * (0.5 ** i)
+                          for i in range(lm.line_search_steps + 1)])
+    losses = jax.lax.map(lambda a: val_loss(G.saxpy(a, s, params)), alphas)
+    best = jnp.argmin(losses)
+    best_alpha = alphas[best]
+    new_params = G.saxpy(best_alpha, s, params)
+
+    info = {"start_loss": start_loss, "val_losses": losses,
+            "best_alpha": best_alpha, "best_val_loss": losses[best],
+            "step_norms": {g: jnp.linalg.norm(getattr(s, g))
+                           for g in G.PARAM_GROUPS}}
+    return new_params, info
+
+
+def select_window(num_cams: int, num_images: int, rng: np.random.Generator,
+                  stride: int = 1) -> list[int]:
+    """Contiguous stride-1 window of views (train_jvp.py:193-206)."""
+    n = min(num_images, num_cams)
+    start = int(rng.integers(0, max(num_cams - n * stride, 1)))
+    return [start + i * stride for i in range(n)]
+
+
+def val_indices(num_cams: int, lm: cfg_mod.LMParams) -> list[int]:
+    """Fixed validation views (train_jvp.py:214-216)."""
+    return [(i * lm.val_view_stride) % num_cams
+            for i in range(lm.num_val_views)]
+
+
+def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
+             iteration: int, rng: np.random.Generator, use_exp: bool,
+             lambda_dssim: float, active_sh_degree: int, verbose=True):
+    """Host driver for one LM iteration: pick windows, run the jitted step."""
+    n = all_train.batch_size
+    win = select_window(n, lm.num_images, rng)
+    vidx = val_indices(n, lm)
+    window = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
+    val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
+
+    params, info = lm_outer_step(params, aux.alive, window, val, bg,
+                                 rcfg=rcfg, lm=lm,
+                                 active_sh_degree=active_sh_degree,
+                                 use_exp=use_exp, lambda_dssim=lambda_dssim)
+    if verbose:
+        print(f"\n[ITER {iteration}] LM window {win}: "
+              f"loss {float(info['start_loss']):.6f} → val "
+              f"{float(info['best_val_loss']):.6f} "
+              f"(alpha {float(info['best_alpha']):.3f})")
+    return params, info
+
+
+def main():
+    from gslm_tpu.train import build_parser, training
+
+    parser = build_parser()
+    args = parser.parse_args()
+    args.save_iterations.append(args.iterations)
+
+    lm = cfg_mod.extract(args, cfg_mod.LMParams)
+    model = cfg_mod.extract(args, cfg_mod.ModelParams)
+    opt = cfg_mod.extract(args, cfg_mod.OptimizationParams)
+    rng = np.random.default_rng(0)
+
+    def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
+        active_sh = min(iteration // 1000, params.sh_degree)
+        params, _ = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
+                             iteration, rng, model.train_test_exp,
+                             opt.lambda_dssim, active_sh)
+        return params, aux, opt_state
+
+    print("Optimizing " + args.model_path + f" (LM from {lm.jvp_start})")
+    training(args, lm_phase_hook=hook)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,8 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
             0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0))
     else:
         delay_rate = 1.0
-    if lr_init == 0.0 and lr_final == 0.0:
+    if (isinstance(lr_init, (int, float)) and lr_init == 0.0
+            and isinstance(lr_final, (int, float)) and lr_final == 0.0):
         return jnp.zeros_like(step)
     t = jnp.clip(step / max_steps, 0.0, 1.0)
     log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)

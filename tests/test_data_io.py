@@ -1,0 +1,135 @@
+"""Data IO tests: PLY roundtrips, COLMAP binary roundtrips, Scene loading."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from gslm_tpu.data import colmap
+from gslm_tpu.data.ply import (fetch_point_cloud, load_gaussians_ply,
+                               read_ply, save_gaussians_ply, store_point_cloud)
+
+
+def test_point_cloud_ply_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(17, 3))
+    rgb = rng.integers(0, 255, (17, 3))
+    path = str(tmp_path / "pc.ply")
+    store_point_cloud(path, xyz, rgb)
+    pts, colors, normals = fetch_point_cloud(path)
+    np.testing.assert_allclose(pts, xyz.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(colors * 255, rgb, atol=0.5)
+    # header must match the ecosystem format
+    head = open(path, "rb").read(200).split(b"end_header")[0].decode()
+    assert "binary_little_endian" in head
+    assert "property uchar red" in head
+
+
+def test_gaussian_ply_roundtrip(tmp_path, rng):
+    p, k = 13, 15
+    arrs = dict(xyz=rng.normal(size=(p, 3)).astype(np.float32),
+                features_dc=rng.normal(size=(p, 1, 3)).astype(np.float32),
+                features_rest=rng.normal(size=(p, k, 3)).astype(np.float32),
+                opacity=rng.normal(size=(p, 1)).astype(np.float32),
+                scaling=rng.normal(size=(p, 3)).astype(np.float32),
+                rotation=rng.normal(size=(p, 4)).astype(np.float32))
+    path = str(tmp_path / "g.ply")
+    save_gaussians_ply(path, **arrs)
+    back = load_gaussians_ply(path)
+    for name in arrs:
+        np.testing.assert_array_equal(back[name], arrs[name], err_msg=name)
+    # property layout matches the reference's construct_list_of_attributes
+    head = open(path, "rb").read(4096).split(b"end_header")[0].decode()
+    order = [ln.split()[-1] for ln in head.strip().splitlines()
+             if ln.startswith("property")]
+    assert order[:6] == ["x", "y", "z", "nx", "ny", "nz"]
+    assert order[6:9] == ["f_dc_0", "f_dc_1", "f_dc_2"]
+    assert order[9] == "f_rest_0" and order[53] == "f_rest_44"
+    assert order[54:] == ["opacity", "scale_0", "scale_1", "scale_2",
+                          "rot_0", "rot_1", "rot_2", "rot_3"]
+
+
+def test_colmap_binary_roundtrip(tmp_path, rng):
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", 640, 480,
+                                   np.array([500.0, 510.0, 320.0, 240.0]))}
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    images = {1: colmap.ColmapImage(1, q, rng.normal(size=3), 1, "img_001.png",
+                                    rng.normal(size=(2, 2)),
+                                    np.array([5, -1], np.int64))}
+    colmap.write_cameras_binary(cams, str(tmp_path / "cameras.bin"))
+    colmap.write_images_binary(images, str(tmp_path / "images.bin"))
+    xyz = rng.normal(size=(9, 3))
+    rgb = rng.integers(0, 255, (9, 3)).astype(np.uint8)
+    colmap.write_points3d_binary(xyz, rgb, np.zeros(9),
+                                 str(tmp_path / "points3D.bin"))
+
+    cams2 = colmap.read_cameras_binary(str(tmp_path / "cameras.bin"))
+    ims2 = colmap.read_images_binary(str(tmp_path / "images.bin"))
+    xyz2, rgb2, _ = colmap.read_points3d_binary(str(tmp_path / "points3D.bin"))
+    assert cams2[1].model == "PINHOLE" and cams2[1].width == 640
+    np.testing.assert_allclose(ims2[1].qvec, q)
+    np.testing.assert_allclose(ims2[1].xys, images[1].xys)
+    np.testing.assert_array_equal(ims2[1].point3d_ids, images[1].point3d_ids)
+    assert ims2[1].name == "img_001.png"
+    np.testing.assert_allclose(xyz2, xyz)
+    np.testing.assert_array_equal(rgb2, rgb)
+
+
+def test_scene_load_roundtrip(tmp_path):
+    """Full loop: synthesize scene → write COLMAP dataset → Scene() loads it
+    and reproduces the camera geometry + gt pixels."""
+    from gslm_tpu.models.scene import Scene
+    from tests.synthetic_scene import build_colmap_scene
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  eval_split=True)
+    # llffhold=8 with 6 views: index 0 is test
+    assert len(scene.get_test_cameras()) == 1
+    assert len(scene.get_train_cameras()) == 5
+    cam = scene.get_train_cameras()[0]
+    assert cam.image is not None and cam.image.shape == (3, 64, 64)
+    assert 0.0 <= cam.image.min() and cam.image.max() <= 1.0
+    assert scene.cameras_extent > 0
+    # model initialized from the point cloud, padded to capacity
+    assert scene.params.capacity >= 40
+    assert int(np.asarray(scene.aux.num_alive)) == 40
+
+    # re-render the train view from loaded geometry: must match the stored
+    # gt closely (only 8-bit quantization error)
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import camera_from_meta
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.renderer import render_jit
+    from tests.synthetic_scene import blob_params
+
+    params = blob_params(num_images=6)
+    out = render_jit(params, camera_from_meta(cam), jnp.zeros(3),
+                     config=RasterConfig(dup_capacity=1 << 12,
+                                         max_per_tile=128, tile_chunk=8))
+    err = np.abs(np.asarray(out.render) - cam.image).max()
+    assert err < 2.5 / 255.0, err
+
+
+def test_scene_save_and_reload(tmp_path):
+    from gslm_tpu.models.scene import Scene
+    from tests.synthetic_scene import build_colmap_scene
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=4)
+    model = str(tmp_path / "model")
+    scene = Scene(src, model, resolution=1, shuffle=False)
+    scene.save(7)
+    assert os.path.exists(os.path.join(model, "point_cloud/iteration_7/point_cloud.ply"))
+    assert os.path.exists(os.path.join(model, "exposure.json"))
+    assert os.path.exists(os.path.join(model, "cameras.json"))
+    assert os.path.exists(os.path.join(model, "input.ply"))
+
+    scene2 = Scene(src, model, resolution=1, shuffle=False, load_iteration=-1)
+    assert scene2.loaded_iter == 7
+    live = int(np.asarray(scene2.aux.num_alive))
+    assert live == int(np.asarray(scene.aux.num_alive))
+    np.testing.assert_allclose(
+        np.asarray(scene2.params.xyz)[:live],
+        np.asarray(scene.params.xyz)[:live], atol=1e-6)

@@ -1,0 +1,146 @@
+"""End-to-end Adam training on a synthetic COLMAP scene (SURVEY §7 step 4:
+'minimum end-to-end slice'): PSNR must climb, densification must run, saves
+and checkpoints must round-trip."""
+
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+import gslm_tpu.config as cfg_mod
+from tests.synthetic_scene import build_colmap_scene
+
+
+def _args(src, model, **over):
+    base = {}
+    for cls in (cfg_mod.ModelParams, cfg_mod.PipelineParams,
+                cfg_mod.OptimizationParams, cfg_mod.LMParams,
+                cfg_mod.TpuParams):
+        import dataclasses
+        for f in dataclasses.fields(cls):
+            base[f.name] = f.default
+    base.update(source_path=src, model_path=model,
+                iterations=120,
+                densify_from_iter=20, densification_interval=40,
+                densify_until_iter=110, opacity_reset_interval=1000,
+                position_lr_max_steps=120,
+                test_iterations=[120], save_iterations=[120],
+                checkpoint_iterations=[120], start_checkpoint="",
+                capacity=256, dup_capacity=1 << 12, max_per_tile=128,
+                tile_chunk=8)
+    base.update(over)
+    return Namespace(**base)
+
+
+def test_adam_training_improves_psnr(tmp_path):
+    from gslm_tpu.train import evaluate, make_raster_config, training
+    from gslm_tpu.models.cameras import batch_from_metas
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    args = _args(src, str(tmp_path / "model"))
+    scene, params, aux, opt_state = training(args)
+
+    import jax.numpy as jnp
+    cams = batch_from_metas(scene.get_train_cameras())
+    rcfg = make_raster_config(cfg_mod.extract(args, cfg_mod.TpuParams),
+                              cfg_mod.extract(args, cfg_mod.PipelineParams),
+                              cams.height, cams.width, params.capacity)
+    final = evaluate(params, aux, cams, jnp.zeros(3), rcfg, 0, False)
+
+    # baseline: evaluate the *initial* model
+    from gslm_tpu.models.scene import Scene
+    scene0 = Scene(src, str(tmp_path / "model0"), resolution=1,
+                   shuffle=False, capacity=256)
+    init = evaluate(scene0.params, scene0.aux, cams, jnp.zeros(3), rcfg, 0,
+                    False)
+    assert final["psnr"] > init["psnr"] + 3.0, (init, final)
+    assert final["psnr"] > 22.0, final
+
+    # artifacts written
+    mp = str(tmp_path / "model")
+    assert os.path.exists(os.path.join(mp, "point_cloud/iteration_120/point_cloud.ply"))
+    assert os.path.exists(os.path.join(mp, "chkpnt120.npz"))
+    assert os.path.exists(os.path.join(mp, "cfg_args"))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from gslm_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from gslm_tpu.optim import init_adam
+    from tests.utils import random_gaussians
+
+    params, aux = random_gaussians(rng, n=32, capacity=64)
+    opt_state = init_adam(params)
+    opt_state = opt_state.replace(step=jnp.int32(17))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, aux, opt_state, 1234, 2.5)
+    p2, a2, o2, it, slr = load_checkpoint(path)
+    assert it == 1234 and slr == 2.5
+    np.testing.assert_array_equal(np.asarray(p2.xyz), np.asarray(params.xyz))
+    np.testing.assert_array_equal(np.asarray(a2.alive), np.asarray(aux.alive))
+    assert int(o2.step) == 17
+
+
+def test_densify_clone_split_prune(rng):
+    import jax
+    import jax.numpy as jnp
+    from gslm_tpu.densify import densify_and_prune
+    from gslm_tpu.models.gaussians import init_aux
+    from gslm_tpu.optim import init_adam
+    from tests.utils import random_gaussians
+
+    params, aux = random_gaussians(rng, n=8, capacity=32)
+    opt_state = init_adam(params)
+    # mark gaussians 0,1 as high-gradient; 0 small (clone), 1 large (split)
+    extent = 1.0
+    percent_dense = 0.01
+    scaling = np.asarray(params.scaling).copy()
+    scaling[0] = np.log(0.001)   # small → clone
+    scaling[1] = np.log(0.5)     # large → split
+    params = params.replace(scaling=jnp.asarray(scaling))
+    accum = np.zeros(32, np.float32)
+    accum[[0, 1]] = 1.0
+    denom = np.zeros(32, np.float32)
+    denom[:8] = 1.0
+    aux = aux.replace(xyz_gradient_accum=jnp.asarray(accum),
+                      denom=jnp.asarray(denom))
+    # make gaussian 2 transparent → pruned
+    opacity = np.asarray(params.opacity).copy()
+    opacity[2] = -10.0
+    params = params.replace(opacity=jnp.asarray(opacity))
+
+    p2, a2, o2, info = densify_and_prune(
+        params, aux, opt_state, jax.random.PRNGKey(0), 0.5, 0.005,
+        extent, 0.0, percent_dense)
+    assert int(info["n_cloned"]) == 1
+    assert int(info["n_split"]) == 1
+    assert int(info["n_pruned"]) >= 1
+    # net alive: 8 + clone(1) + split-child(1) - pruned
+    assert int(info["n_alive"]) == 8 + 2 - int(info["n_pruned"])
+    # clone is verbatim copy of gaussian 0 in a previously-free slot
+    new_rows = np.asarray(a2.alive) & ~np.asarray(aux.alive)
+    assert new_rows.sum() == 2
+    xyz_new = np.asarray(p2.xyz)[new_rows]
+    assert (np.abs(xyz_new - np.asarray(params.xyz)[0]).max(axis=1) < 1e-6).any()
+    # split parent was resampled and shrunk
+    assert np.allclose(np.asarray(p2.scaling)[1],
+                       np.log(0.5) - np.log(1.6), atol=1e-5)
+
+
+def test_densify_capacity_overflow(rng):
+    import jax
+    import jax.numpy as jnp
+    from gslm_tpu.densify import densify_and_prune
+    from gslm_tpu.optim import init_adam
+    from tests.utils import random_gaussians
+
+    params, aux = random_gaussians(rng, n=8, capacity=8)  # no free slots
+    opt_state = init_adam(params)
+    aux = aux.replace(xyz_gradient_accum=jnp.ones(8),
+                      denom=jnp.ones(8))
+    p2, a2, o2, info = densify_and_prune(
+        params, aux, opt_state, jax.random.PRNGKey(0), 0.5, 0.005,
+        1.0, 0.0, 0.01)
+    assert int(info["n_dropped"]) == 8
+    assert int(info["n_alive"]) <= 8

@@ -1,0 +1,95 @@
+"""Two-phase LM trainer tests (reference train_jvp.py behavior)."""
+
+import numpy as np
+import pytest
+
+import gslm_tpu.config as cfg_mod
+from tests.synthetic_scene import build_colmap_scene
+from tests.test_train_e2e import _args
+
+
+def test_lm_phase_reduces_loss(tmp_path):
+    """Phase 2 on a slightly-trained model must reduce the residual loss
+    across LM outer steps (the train_jvp.py core loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.train_lm import lm_phase
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    params, aux = scene.params, scene.aux
+    all_train = batch_from_metas(scene.get_train_cameras())
+    rcfg = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    bg = jnp.zeros(3)
+    lm = cfg_mod.LMParams(num_images=3, num_val_views=6, val_view_stride=1,
+                          mask_xyz=False)
+    rng = np.random.default_rng(0)
+
+    losses = []
+    for it in range(4):
+        params, info = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
+                                it, rng, False, 0.2, 0, verbose=False)
+        losses.append(float(info["best_val_loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    # xyz was NOT masked here: step must include xyz movement
+    assert float(info["step_norms"]["xyz"]) > 0
+
+
+def test_lm_mask_xyz_freezes_positions(tmp_path):
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.train_lm import lm_phase
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=4)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    all_train = batch_from_metas(scene.get_train_cameras())
+    rcfg = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    lm = cfg_mod.LMParams(num_images=2, num_val_views=4, val_view_stride=1,
+                          mask_xyz=True)
+    params0 = scene.params
+    params, info = lm_phase(scene, params0, scene.aux, all_train, rcfg,
+                            jnp.zeros(3), lm, 0, np.random.default_rng(0),
+                            False, 0.2, 0, verbose=False)
+    # xyz frozen by the group mask (reference default, train_jvp.py:221-228)
+    np.testing.assert_array_equal(np.asarray(params.xyz),
+                                  np.asarray(params0.xyz))
+    assert float(info["step_norms"]["xyz"]) == 0.0
+    assert float(info["step_norms"]["features_dc"]) > 0.0
+
+
+def test_two_phase_cli_e2e(tmp_path):
+    """Full CLI path: Adam phase → LM phase via the hook."""
+    from gslm_tpu.train import training
+    from gslm_tpu.train_lm import lm_phase
+    import gslm_tpu.config as cfg
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    args = _args(src, str(tmp_path / "model"), iterations=30, jvp_start=21,
+                 densify_from_iter=1000, num_images=3, num_val_views=6,
+                 val_view_stride=1, test_iterations=[30],
+                 save_iterations=[30], checkpoint_iterations=[])
+
+    lm = cfg.extract(args, cfg.LMParams)
+    model = cfg.extract(args, cfg.ModelParams)
+    opt = cfg.extract(args, cfg.OptimizationParams)
+    rng = np.random.default_rng(0)
+    lm_iters = []
+
+    def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
+        lm_iters.append(iteration)
+        params, _ = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
+                             iteration, rng, model.train_test_exp,
+                             opt.lambda_dssim, 0, verbose=False)
+        return params, aux, opt_state
+
+    scene, params, aux, _ = training(args, lm_phase_hook=hook)
+    assert lm_iters and lm_iters[0] == 21 and lm_iters[-1] == 30
