@@ -1,0 +1,139 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: forward-render throughput (rays/s = pixels/s) at 1080p over a
+synthetic 128k-Gaussian cloud on one chip. Baseline: the reference's only
+concrete rate claim — real-time rendering >= 30 fps at 1080p on an
+RTX-class GPU (reference README.md:14) = 62.208e6 rays/s.
+
+Extra sub-metrics (reference tests/test_jvp_timing.py analog): fwd+bwd
+rays/s through jax.grad of the training loss, and LM operator throughput
+(J.v JVP matvecs/s, J^T.u VJP matvecs/s).
+
+Usage: python bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 30.0 * 1920 * 1080   # reference README.md:14
+
+
+def _time_calls(fn, args, iters: int, warmup: int = 2) -> float:
+    """Median-of-3 wall time per call; one device sync per timing block."""
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes (CI/CPU smoke)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import camera_from_meta
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.renderer import render
+    from gslm_tpu.solver.operators import LMOperators
+    from gslm_tpu.solver.residuals import batch_residuals
+    from gslm_tpu.utils.synthetic import (make_camera, random_gaussians,
+                                          ring_camera_batch)
+
+    if args.quick:
+        n_gauss, H, W, iters = 4096, 256, 256, 5
+        lm_views, lm_hw = 2, 128
+        cfg = RasterConfig(dup_capacity=1 << 15, max_per_tile=256,
+                           tile_chunk=16)
+    else:
+        n_gauss, H, W, iters = 131_072, 1080, 1920, 10
+        lm_views, lm_hw = 2, 540
+        cfg = RasterConfig(dup_capacity=1 << 21, max_per_tile=1024,
+                           tile_chunk=64)
+
+    rng = np.random.default_rng(0)
+    params, aux = random_gaussians(rng, n=n_gauss, capacity=n_gauss,
+                                   num_images=max(lm_views, 1), spread=1.5,
+                                   scale_range=(-5.5, -3.5))
+    camera = camera_from_meta(make_camera(height=H, width=W))
+    bg = jnp.zeros(3, jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+
+    # ---- forward render (headline) ------------------------------------
+    @jax.jit
+    def fwd(p, cam, bg):
+        return render(p, cam, bg, config=cfg, alive=aux.alive).render
+
+    t_fwd = _time_calls(fwd, (params, camera, bg), iters)
+    rays_fwd = H * W / t_fwd
+
+    # ---- forward + backward -------------------------------------------
+    @jax.jit
+    def fwd_bwd(p, cam, bg, gt):
+        def loss_fn(p):
+            img = render(p, cam, bg, config=cfg, alive=aux.alive).render
+            return jnp.mean(jnp.abs(img - gt))
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        return loss, g.xyz
+
+    t_fb = _time_calls(fwd_bwd, (params, camera, bg, gt), max(iters // 2, 3))
+    rays_fb = H * W / t_fb
+
+    # ---- LM operators (tests/test_jvp_timing.py analog) ----------------
+    lm_cams = ring_camera_batch(lm_views, lm_hw, lm_hw)
+    lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
+                          max_per_tile=cfg.max_per_tile,
+                          tile_chunk=cfg.tile_chunk)
+
+    def residual_fn(p):
+        return batch_residuals(p, lm_cams, bg, config=lm_cfg,
+                               disable_ssim=True, alive=aux.alive)
+
+    ops = LMOperators(residual_fn, params)
+    v = jax.tree.map(jnp.ones_like, params)
+    matvec = jax.jit(ops.matvec)
+    matvec_T = jax.jit(ops.matvec_T)
+
+    t_mv = _time_calls(matvec, (v,), max(iters // 2, 3))
+    u = matvec(v)
+    t_mvT = _time_calls(matvec_T, (u,), max(iters // 2, 3))
+
+    result = {
+        "metric": "render_1080p_rays_per_s",
+        "value": round(rays_fwd, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_fwd / BASELINE_RAYS_PER_S, 4),
+        "extra": {
+            "fwd_ms": round(t_fwd * 1e3, 3),
+            "fwd_bwd_rays_per_s": round(rays_fb, 1),
+            "fwd_bwd_ms": round(t_fb * 1e3, 3),
+            "lm_matvec_per_s": round(1.0 / t_mv, 3),
+            "lm_matvec_T_per_s": round(1.0 / t_mvT, 3),
+            "n_gaussians": n_gauss,
+            "resolution": f"{W}x{H}",
+            "device": str(jax.devices()[0]),
+            "quick": args.quick,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,6 +120,36 @@ def read_images_text(path):
     return images
 
 
+def read_points3d_binary_with_ids(path):
+    """→ (ids (N,) i64, xyz (N,3) f64); used by the depth-scale tool which
+    must index points by COLMAP point id (reference
+    utils/make_depth_scale.py:76-80)."""
+    with open(path, "rb") as f:
+        (n,) = _read(f, 8, "Q")
+        ids = np.empty(n, np.int64)
+        xyz = np.empty((n, 3))
+        for i in range(n):
+            data = _read(f, 43, "qdddBBBd")
+            ids[i] = data[0]
+            xyz[i] = data[1:4]
+            (tlen,) = _read(f, 8, "Q")
+            f.seek(8 * tlen, os.SEEK_CUR)
+    return ids, xyz
+
+
+def read_points3d_text_with_ids(path):
+    ids, xyz = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            ids.append(int(parts[0]))
+            xyz.append(tuple(map(float, parts[1:4])))
+    return np.array(ids, np.int64), np.array(xyz)
+
+
 def read_points3d_binary(path):
     """→ (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64)."""
     with open(path, "rb") as f:

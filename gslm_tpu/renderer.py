@@ -120,8 +120,9 @@ def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
     return jax.vmap(one_view)(batched_cam)
 
 
-_STATIC = ("config", "active_sh_degree", "scaling_modifier", "use_trained_exp",
-           "impl")
+# scaling_modifier stays dynamic (traced) so the viewer's slider doesn't
+# trigger a recompile per value.
+_STATIC = ("config", "active_sh_degree", "use_trained_exp", "impl")
 
 # Jitted entry points (compile once per (shape, static-config) signature).
 render_jit = jax.jit(render, static_argnames=_STATIC)

@@ -153,6 +153,15 @@ def training(args, *, lm_phase_hook=None):
                           or [7000, 30000])
     ckpt_iterations = set(getattr(args, "checkpoint_iterations", None) or [])
 
+    viewer = None
+    if not getattr(args, "disable_viewer", False):
+        try:
+            from gslm_tpu.viewer import ViewerServer
+            viewer = ViewerServer(getattr(args, "ip", "127.0.0.1"),
+                                  getattr(args, "port", 6009))
+        except OSError as e:
+            print(f"Viewer server disabled ({e})")
+
     key = jax.random.PRNGKey(0)
     indices: list[int] = []
     ema_loss = 0.0
@@ -164,6 +173,11 @@ def training(args, *, lm_phase_hook=None):
     for it_idx in progress:
         iteration = it_idx + 1
         active_sh = min(iteration // 1000, params.sh_degree)
+        if viewer is not None:
+            viewer.poll(params, aux, bg_default, rcfg=rcfg,
+                        active_sh_degree=active_sh,
+                        source_path=model.source_path,
+                        training_done=iteration >= opt.iterations)
         if lm_phase_hook is not None and iteration >= jvp_start:
             # LM outer loop (train_lm.py drives it); eval/save/checkpoint
             # below still apply (reference train_jvp.py:294-341)
@@ -258,6 +272,9 @@ def build_parser() -> ArgumentParser:
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--disable_viewer", action="store_true")
     return parser
 
 
