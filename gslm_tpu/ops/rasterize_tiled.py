@@ -55,6 +55,61 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int):
+    """Stages 1-3 of the tile pipeline (shared by the XLA and Pallas
+    compositors): fixed-capacity duplicate-with-keys, stable (tile, depth)
+    sort, per-tile range extraction.
+
+    Returns (sorted_gid (L,), starts (ntiles,), ends (ntiles,), total ()).
+    """
+    ntiles = ntx * nty
+    P = splats.mean2d.shape[0]
+    assert L < (1 << 24), "dup_capacity must stay f32-exact (< 2^24)"
+
+    # ---- 1. duplicate with keys ----------------------------------------
+    # Everything each entry needs is packed into one (P, 8) row and
+    # expanded with a single jnp.repeat: because entry -> gaussian is a
+    # sorted mapping, repeat replaces five independent (L,)-index gathers
+    # (which XLA lowers to slow scalar gathers on TPU — measured 6x slower
+    # than the packed repeat at L=2M). f32 carries the ints exactly
+    # (offsets < 2^24, ids < 2^24).
+    counts = splats.tile_count                       # (P,) int32, 0 if culled
+    offsets = jnp.cumsum(counts) - counts            # exclusive
+    total = offsets[-1] + counts[-1]
+    packed = jnp.stack([
+        offsets.astype(jnp.float32),
+        splats.rect_min[:, 0].astype(jnp.float32),
+        splats.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(splats.rect_max[:, 0] - splats.rect_min[:, 0],
+                    1).astype(jnp.float32),
+        splats.depth,
+        jnp.arange(P, dtype=jnp.float32),
+        jnp.zeros((P,), jnp.float32),
+        jnp.zeros((P,), jnp.float32),
+    ], axis=1)                                       # (P, 8)
+    rep = jnp.repeat(packed, counts, axis=0, total_repeat_length=L)
+    iota = jnp.arange(L, dtype=jnp.int32)
+    entry_valid = iota < total
+    gid = rep[:, 5].astype(jnp.int32)
+    rank = iota - rep[:, 0].astype(jnp.int32)
+    rect_w = rep[:, 3].astype(jnp.int32)
+    dy = rank // rect_w
+    dx = rank - dy * rect_w
+    tile = (rep[:, 2].astype(jnp.int32) + dy) * ntx \
+        + rep[:, 1].astype(jnp.int32) + dx
+    tile = jnp.where(entry_valid, tile, ntiles)      # sentinel sorts last
+    depth_key = jnp.where(entry_valid, rep[:, 4], jnp.inf)
+
+    # ---- 2. sort by (tile, depth), stable -------------------------------
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (tile, depth_key, gid), num_keys=2, is_stable=True)
+
+    # ---- 3. tile ranges --------------------------------------------------
+    bounds = jnp.searchsorted(sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32),
+                              side="left")
+    return sorted_gid, bounds[:-1], bounds[1:], total
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "config"))
 def rasterize_tiled(splats: Splats2D, height: int, width: int,
                     bg: jnp.ndarray, config: RasterConfig) -> dict:
@@ -68,31 +123,8 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     G = config.tile_chunk
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
-    P = splats.mean2d.shape[0]
 
-    # ---- 1. duplicate with keys ----------------------------------------
-    counts = splats.tile_count                       # (P,) int32, 0 if culled
-    offsets = jnp.cumsum(counts) - counts            # exclusive
-    total = offsets[-1] + counts[-1]
-    gid = jnp.repeat(jnp.arange(P, dtype=jnp.int32), counts,
-                     total_repeat_length=L)          # (L,)
-    entry_valid = jnp.arange(L, dtype=jnp.int32) < total
-    rank = jnp.arange(L, dtype=jnp.int32) - offsets[gid]
-    rect_w = jnp.maximum(splats.rect_max[gid, 0] - splats.rect_min[gid, 0], 1)
-    dy = rank // rect_w
-    dx = rank - dy * rect_w
-    tile = ((splats.rect_min[gid, 1] + dy) * ntx + (splats.rect_min[gid, 0] + dx))
-    tile = jnp.where(entry_valid, tile, ntiles)      # sentinel sorts last
-    depth_key = jnp.where(entry_valid, splats.depth[gid], jnp.inf)
-
-    # ---- 2. sort by (tile, depth), stable -------------------------------
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile, depth_key, gid), num_keys=2, is_stable=True)
-
-    # ---- 3. tile ranges --------------------------------------------------
-    bounds = jnp.searchsorted(sorted_tile, jnp.arange(ntiles + 1, dtype=jnp.int32),
-                              side="left")
-    starts, ends = bounds[:-1], bounds[1:]
+    sorted_gid, starts, ends, total = duplicate_sort_ranges(splats, ntx, nty, L)
     tile_loads = ends - starts
 
     # ---- 4. per-tile compositing ----------------------------------------
@@ -103,7 +135,12 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     invdepth = splats.invdepth
 
     slot_iota = jnp.arange(S, dtype=jnp.int32)
-    lane16 = jnp.arange(TILE, dtype=jnp.float32)
+    # Pixels are handled as a flat (256,) lane vector per tile, not (16,16):
+    # a 16-wide minor dim uses 16 of the VPU's 128 lanes (8x waste); the
+    # flat layout fills two full vector registers per row.
+    lin = jnp.arange(TILE * TILE, dtype=jnp.float32)
+    lane_px = lin % TILE
+    lane_py = lin // TILE
 
     def tile_fn(t):
         s0 = starts[t]
@@ -114,15 +151,15 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
 
         txc = (t % ntx).astype(jnp.float32) * TILE
         tyc = (t // ntx).astype(jnp.float32) * TILE
-        px = txc + lane16[None, :] + jnp.zeros((TILE, 1))   # (16,16)
-        py = tyc + lane16[:, None] + jnp.zeros((1, TILE))
+        px = txc + lane_px                            # (256,)
+        py = tyc + lane_py
 
         alpha = alpha_from_conic(mean2d[g], conic[g], opacity[g], px, py,
-                                 valid[:, None, None])       # (S,16,16)
+                                 valid[:, None])              # (S,256)
         weights, t_final = composite_weights(alpha)
-        img = (jnp.einsum("shw,sc->chw", weights, color[g])
-               + t_final[None] * bg[:, None, None])
-        invd = jnp.einsum("shw,s->hw", weights, invdepth[g])[None]
+        img = (weights.T @ color[g]                            # (256,3)
+               + t_final[:, None] * bg[None, :])
+        invd = weights.T @ invdepth[g][:, None]                # (256,1)
         return img, invd
 
     n_groups = _cdiv(ntiles, G)
@@ -130,12 +167,12 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     tile_ids = tile_ids.reshape(n_groups, G)
 
     group_fn = jax.checkpoint(jax.vmap(tile_fn))
-    imgs, invds = jax.lax.map(group_fn, tile_ids)    # (n_groups, G, 3/1,16,16)
+    imgs, invds = jax.lax.map(group_fn, tile_ids)    # (n_groups, G, 256, 3/1)
 
     def assemble(tiles, c):
-        tiles = tiles.reshape(n_groups * G, c, TILE, TILE)[:ntiles]
-        tiles = tiles.reshape(nty, ntx, c, TILE, TILE)
-        canvas = tiles.transpose(2, 0, 3, 1, 4).reshape(c, nty * TILE, ntx * TILE)
+        tiles = tiles.reshape(n_groups * G, TILE, TILE, c)[:ntiles]
+        tiles = tiles.reshape(nty, ntx, TILE, TILE, c)
+        canvas = tiles.transpose(4, 0, 2, 1, 3).reshape(c, nty * TILE, ntx * TILE)
         return canvas[:, :height, :width]
 
     return {

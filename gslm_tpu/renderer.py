@@ -56,8 +56,10 @@ def render(params: GaussianParams, camera: Camera, bg: jnp.ndarray, *,
            alive: jnp.ndarray | None = None,
            mean2d_offset: jnp.ndarray | None = None,
            impl: str = "tiled") -> RenderOutput:
-    """Render one view. ``impl`` ∈ {"tiled", "ref"} selects the production
-    tile pipeline or the dense golden rasterizer."""
+    """Render one view. ``impl`` selects the compositor:
+    "tiled" (XLA tile pipeline, differentiable), "pallas" (TPU kernel,
+    forward-only for now), "auto" (pallas on TPU else tiled), or "ref"
+    (dense golden rasterizer)."""
     if active_sh_degree is None:
         active_sh_degree = params.sh_degree
 
@@ -71,6 +73,12 @@ def render(params: GaussianParams, camera: Camera, bg: jnp.ndarray, *,
         out.setdefault("n_duplicates", jnp.int32(0))
         out.setdefault("overflow", jnp.int32(0))
         out.setdefault("max_tile_load", jnp.int32(0))
+    elif impl == "pallas" or (impl == "auto" and
+                              jax.default_backend() == "tpu"):
+        from gslm_tpu.ops.rasterize_pallas import rasterize_pallas
+        out = rasterize_pallas(splats, camera.height, camera.width, bg,
+                               config,
+                               interpret=jax.default_backend() != "tpu")
     else:
         out = rasterize_tiled(splats, camera.height, camera.width, bg, config)
 
