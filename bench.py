@@ -61,12 +61,12 @@ def main():
         n_gauss, H, W, iters = 4096, 256, 256, 5
         lm_views, lm_hw = 2, 128
         cfg = RasterConfig(dup_capacity=1 << 15, max_per_tile=256,
-                           tile_chunk=16)
+                           tile_chunk=16, impl="auto")
     else:
         n_gauss, H, W, iters = 131_072, 1080, 1920, 10
         lm_views, lm_hw = 2, 540
         cfg = RasterConfig(dup_capacity=1 << 21, max_per_tile=1024,
-                           tile_chunk=64)
+                           tile_chunk=64, impl="auto")
 
     rng = np.random.default_rng(0)
     params, aux = random_gaussians(rng, n=n_gauss, capacity=n_gauss,
@@ -102,11 +102,21 @@ def main():
                           max_per_tile=cfg.max_per_tile,
                           tile_chunk=cfg.tile_chunk)
 
+    from gslm_tpu.renderer import resolve_impl
+
     def residual_fn(p):
         return batch_residuals(p, lm_cams, bg, config=lm_cfg,
                                disable_ssim=True, alive=aux.alive)
 
-    ops = LMOperators(residual_fn, params)
+    residual_fn_jvp = None
+    if resolve_impl(lm_cfg.impl) == "pallas":
+        jcfg = lm_cfg.replace(impl="pallas_jvp")
+
+        def residual_fn_jvp(p):
+            return batch_residuals(p, lm_cams, bg, config=jcfg,
+                                   disable_ssim=True, alive=aux.alive)
+
+    ops = LMOperators(residual_fn, params, residual_fn_jvp=residual_fn_jvp)
     v = jax.tree.map(jnp.ones_like, params)
     matvec = jax.jit(ops.matvec)
     matvec_T = jax.jit(ops.matvec_T)

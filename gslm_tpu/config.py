@@ -107,6 +107,7 @@ class TpuParams:
     dup_capacity: int = 1 << 21  # rasterizer (gaussian, tile) entries
     max_per_tile: int = 1024
     tile_chunk: int = 64
+    raster_impl: str = "auto"    # auto | tiled | pallas | ref
     mesh_data: int = 1           # data-parallel axis size (views)
     mesh_model: int = 1          # model-parallel axis size (gaussians)
     cache_dir: str = ""          # persistent XLA compile cache

@@ -115,7 +115,8 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
 
             l = jnp.log1p(-a)                                  # (K, 256)
             cum = jax.lax.dot_general(tri, l, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             t_before = t_run * jnp.exp(cum)                    # (K, 256)
             t_after = t_before * (1.0 - a)
 
@@ -131,7 +132,8 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
 
             rgb_i = jax.lax.dot_general(
                 w, f[:, 6:10], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (256, 4)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (256, 4)
             acc = acc + rgb_i.T                                # (4, 256)
             t_run = t_run * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
             return chunk + 1, t_run, frozen, acc
@@ -162,11 +164,298 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
     jax.lax.fori_loop(0, GROUP, one_tile, 0)
 
 
+def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
+              interpret: bool):
+    """Invoke the forward compositor; returns (n_programs*GROUP, 8, 256)."""
+    nt_pad = n_programs * GROUP
+    L_pad = feat.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_programs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((GROUP, OUT_ROWS, PIX),
+                               lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    return pl.pallas_call(
+        _tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * L_pad * PIX, bytes_accessed=L_pad * FEAT * 4,
+            transcendentals=2 * L_pad * PIX),
+    )(starts_plus, counts_pad, feat)
+
+
+# ---------------------------------------------------------------------------
+# Backward (VJP) kernel.
+#
+# Math (matching the closed-form compositor in ops/composite.py, which the
+# CUDA back-to-front backward also implements): with per-splat alpha a_i,
+# transmittance T_i = prod_{j<i}(1 - a_j), weight w_i = ok_i a_i T_i, and
+# per-pixel output cotangents (g_rgb, g_invd, g_T):
+#
+#   dL/dw_i = sum_c g_c color_ic + g_invd invd_i           (:= dw_i)
+#   dL/da_i = [pre-freeze_i] (ok_i dw_i T_i - S_i / (1 - a_i))
+#   S_i      = sum_{j>i} ok_j dw_j w_j + g_T t_final        (suffix sum)
+#
+# Key structural fact: T only decreases at contributing splats, so
+# "pixel already frozen before splat i"  <=>  T_i < T_EPS. That removes
+# every piece of forward state from the backward walk — pass 1 only
+# accumulates the total log-transmittance; pass 2 walks the chunks in
+# REVERSE, recovering the chunk-start transmittance by division (exactly
+# the CUDA backward's T /= (1-alpha) trick, but chunked + deterministic)
+# and carrying the suffix accumulator S. The frozen-background cotangent
+# enters S exactly at the first-fail splat (t_after < eps <= t_before).
+# ---------------------------------------------------------------------------
+
+
+def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
+                     rscratch, gscratch, rsem, wsem):
+    ntx = starts_ref[pl.num_programs(0) * GROUP]
+    pid = pl.program_id(0)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri_lo = (col < row).astype(jnp.float32)     # strict lower: prefix
+    tri_up = (col > row).astype(jnp.float32)     # strict upper: suffix
+
+    def one_tile(g, _):
+        t = pid * GROUP + g
+        start = starts_ref[t]
+        count = counts_ref[t]
+        nchunks = pl.cdiv(count, K)
+
+        txc = ((t % ntx) * TILE).astype(jnp.float32)
+        tyc = ((t // ntx) * TILE).astype(jnp.float32)
+        px = txc + (lin % TILE).astype(jnp.float32)
+        py = tyc + (lin // TILE).astype(jnp.float32)
+
+        g_r = gtiles_ref[g, 0:1, :]
+        g_gg = gtiles_ref[g, 1:2, :]
+        g_b = gtiles_ref[g, 2:3, :]
+        g_i = gtiles_ref[g, 3:4, :]
+        g_T = gtiles_ref[g, 4:5, :]
+
+        def rdma(slot, chunk):
+            return pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(start + chunk * K, K), :],
+                rscratch.at[slot], rsem.at[slot])
+
+        def wdma(slot, chunk):
+            return pltpu.make_async_copy(
+                gscratch.at[slot],
+                dfeat_hbm.at[pl.ds(start + chunk * K, K), :], wsem.at[slot])
+
+        def chunk_geom(f, chunk):
+            """Recompute alphas for a chunk (shared by both passes)."""
+            dx = f[:, 0:1] - px
+            dy = f[:, 1:2] - py
+            power = (-0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
+                     - f[:, 3:4] * dx * dy)
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+            in_seg = slot_ids < (count - chunk * K)
+            gate = in_seg & (power <= 0.0)
+            expp = jnp.where(gate, jnp.exp(power), 0.0)
+            a_raw = f[:, 5:6] * expp
+            a = jnp.minimum(a_raw, ALPHA_MAX)
+            contrib = a >= ALPHA_MIN
+            a = jnp.where(contrib, a, 0.0)
+            return dx, dy, expp, a_raw, a, contrib
+
+        # ---- pass 1 (forward): total log-transmittance ------------------
+        @pl.when(nchunks > 0)
+        def _():
+            rdma(0, 0).start()
+
+        def p1_body(chunk, lsum):
+            slot = chunk % 2
+
+            @pl.when(chunk + 1 < nchunks)
+            def _():
+                rdma((chunk + 1) % 2, chunk + 1).start()
+
+            rdma(slot, chunk).wait()
+            _, _, _, _, a, _ = chunk_geom(rscratch[slot], chunk)
+            return lsum + jnp.sum(jnp.log1p(-a), axis=0, keepdims=True)
+
+        lsum = jax.lax.fori_loop(0, nchunks, p1_body,
+                                 jnp.zeros((1, PIX), jnp.float32))
+        t_end = jnp.exp(lsum)
+
+        # ---- pass 2 (reverse): suffix accumulator + grads ---------------
+        @pl.when(nchunks > 0)
+        def _():
+            rdma((nchunks - 1) % 2, nchunks - 1).start()
+
+        def p2_body(i, carry):
+            s_acc, t_tail = carry
+            chunk = nchunks - 1 - i
+            slot = chunk % 2
+
+            @pl.when(chunk - 1 >= 0)
+            def _():
+                rdma((chunk - 1) % 2, chunk - 1).start()
+
+            rdma(slot, chunk).wait()
+            f = rscratch[slot]
+            dx, dy, expp, a_raw, a, contrib = chunk_geom(f, chunk)
+
+            l = jnp.log1p(-a)
+            lsum_c = jnp.sum(l, axis=0, keepdims=True)
+            t_start = jnp.minimum(t_tail * jnp.exp(-lsum_c), 1.0)
+            cum = jax.lax.dot_general(tri_lo, l, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            t_before = t_start * jnp.exp(cum)
+            t_after = t_before * (1.0 - a)
+
+            ok = contrib & (t_after >= T_EPS)
+            w = jnp.where(ok, a * t_before, 0.0)
+            dw = (f[:, 6:7] * g_r + f[:, 7:8] * g_gg + f[:, 8:9] * g_b
+                  + f[:, 9:10] * g_i)
+
+            first_fail = contrib & (t_after < T_EPS) & (t_before >= T_EPS)
+            q = jnp.where(ok, dw * w, 0.0) \
+                + jnp.where(first_fail, g_T * t_before, 0.0)
+            s_i = s_acc + jax.lax.dot_general(
+                tri_up, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+            pre_freeze = contrib & (t_before >= T_EPS)
+            da = jnp.where(
+                pre_freeze,
+                jnp.where(ok, dw * t_before, 0.0) - s_i / (1.0 - a), 0.0)
+
+            # chain to record fields; alpha clip is straight-through
+            # (composite.clip_alpha), so d a/d power = a_raw everywhere
+            dpow = da * a_raw
+            gbuf = jnp.concatenate([
+                jnp.sum(dpow * -(f[:, 2:3] * dx + f[:, 3:4] * dy), axis=1,
+                        keepdims=True),                       # d mean_x
+                jnp.sum(dpow * -(f[:, 4:5] * dy + f[:, 3:4] * dx), axis=1,
+                        keepdims=True),                       # d mean_y
+                jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True),
+                jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True),
+                jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True),
+                jnp.sum(da * expp, axis=1, keepdims=True),    # d opacity
+                jnp.sum(w * g_r, axis=1, keepdims=True),      # d color r
+                jnp.sum(w * g_gg, axis=1, keepdims=True),
+                jnp.sum(w * g_b, axis=1, keepdims=True),
+                jnp.sum(w * g_i, axis=1, keepdims=True),      # d invdepth
+                jnp.zeros((K, FEAT - 10), jnp.float32),
+            ], axis=1)
+
+            # double-buffered writes: the slot's previous write (2 reverse
+            # steps ago) must land before the scratch is overwritten
+            @pl.when(i >= 2)
+            def _():
+                wdma(i % 2, chunk + 2).wait()
+            gscratch[i % 2] = gbuf
+            wdma(i % 2, chunk).start()
+
+            s_acc = s_acc + jnp.sum(q, axis=0, keepdims=True)
+            return s_acc, t_start
+
+        s0 = jnp.where(t_end >= T_EPS, g_T * t_end, 0.0)
+        jax.lax.fori_loop(0, nchunks, p2_body,
+                          (s0, t_end))
+
+        # drain outstanding grad writes
+        @pl.when(nchunks >= 2)
+        def _():
+            wdma(nchunks % 2, 1).wait()
+
+        @pl.when(nchunks >= 1)
+        def _():
+            wdma((nchunks - 1) % 2, 0).wait()
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, one_tile, 0)
+
+
+def _bwd_call(feat, starts_plus, counts_pad, gtiles, *, n_programs: int,
+              interpret: bool):
+    """Invoke the backward compositor; returns dfeat with feat's shape."""
+    L_pad = feat.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_programs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((GROUP, OUT_ROWS, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    return pl.pallas_call(
+        _tile_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((L_pad, FEAT), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * L_pad * PIX, bytes_accessed=3 * L_pad * FEAT * 4,
+            transcendentals=4 * L_pad * PIX),
+    )(starts_plus, counts_pad, feat, gtiles)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(n_programs: int, ntiles: int, interpret: bool,
+                    mode: str):
+    """Composite-tiles function with the requested differentiation rule.
+
+    mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
+    mode="jvp": jax.custom_jvp via the fused tangent kernel (LM J v).
+    JAX does not allow both rules on one function, so the LM operators pick
+    the variant per matvec direction (solver/operators.py).
+    """
+    kw = dict(n_programs=n_programs, interpret=interpret)
+    if mode == "vjp":
+        @jax.custom_vjp
+        def comp(feat, starts_plus, counts_pad):
+            return _fwd_call(feat, starts_plus, counts_pad, **kw)
+
+        def fwd(feat, starts_plus, counts_pad):
+            return comp(feat, starts_plus, counts_pad), \
+                (feat, starts_plus, counts_pad)
+
+        def bwd(res, gtiles):
+            feat, starts_plus, counts_pad = res
+            dfeat = _bwd_call(feat, starts_plus, counts_pad, gtiles, **kw)
+            # rows past the last valid entry are never written by any tile:
+            # scrub uninitialized HBM (which may hold NaNs) with where — a
+            # mask *multiply* would propagate NaN*0=NaN into the gather's
+            # scatter-add and poison real parameter gradients
+            total = starts_plus[ntiles - 1] + counts_pad[ntiles - 1]
+            valid = jnp.arange(dfeat.shape[0], dtype=jnp.int32) < total
+            dfeat = jnp.where(valid[:, None], dfeat, 0.0)
+            return dfeat, None, None
+
+        comp.defvjp(fwd, bwd)
+        return comp
+    if mode == "jvp":
+        from gslm_tpu.ops.rasterize_pallas_jvp import make_jvp_composite
+        return make_jvp_composite(n_programs, interpret, _fwd_call)
+    return functools.partial(_fwd_call, **kw)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("height", "width", "config", "interpret"))
+                   static_argnames=("height", "width", "config", "interpret",
+                                    "mode"))
 def rasterize_pallas(splats: Splats2D, height: int, width: int,
                      bg: jnp.ndarray, config: RasterConfig,
-                     interpret: bool = False) -> dict:
+                     interpret: bool = False, mode: str = "vjp") -> dict:
     """Same contract as rasterize_tiled (render/invdepth/diagnostics)."""
     L = config.dup_capacity
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
@@ -175,17 +464,21 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     sorted_gid, starts, ends, total = duplicate_sort_ranges(
         splats, ntx, nty, L)
     counts = ends - starts
+    entry_valid = jnp.arange(L, dtype=jnp.int32) < total
 
-    # pre-gather sorted splat records: one coalesced (L, 16) stream; K
-    # zero-opacity pad rows absorb the last chunk's over-read
-    feat = jnp.concatenate([
+    # pre-gather sorted splat records: one coalesced (L, FEAT) stream; K
+    # zero-opacity pad rows absorb the last chunk's over-read. The gather
+    # is differentiable (its VJP is XLA's scatter-add back to the P axis),
+    # which routes the kernel's per-entry cotangents to the Gaussians.
+    records = jnp.concatenate([
         splats.mean2d,                      # 0:2
         splats.conic,                       # 2:5
         splats.opacity[:, None],            # 5
         splats.color,                       # 6:9
         splats.invdepth[:, None],           # 9
         jnp.zeros((splats.mean2d.shape[0], FEAT - 10), jnp.float32),
-    ], axis=1)[sorted_gid]
+    ], axis=1)
+    feat = records[sorted_gid] * entry_valid[:, None]
     feat = jnp.concatenate([feat, jnp.zeros((K, FEAT), jnp.float32)], axis=0)
 
     # pad the tile axis to a GROUP multiple (count 0 => tile renders bg),
@@ -198,27 +491,8 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     counts_pad = jnp.concatenate(
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_programs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((GROUP, OUT_ROWS, PIX),
-                               lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ])
-
-    tiles = pl.pallas_call(
-        _tile_kernel,
-        out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=30 * L * PIX, bytes_accessed=(L + K) * FEAT * 4,
-            transcendentals=2 * L * PIX),
-    )(starts_plus, counts_pad, feat)
+    comp = _make_composite(n_programs, ntiles, interpret, mode)
+    tiles = comp(feat, starts_plus, counts_pad)
     tiles = tiles[:ntiles]
 
     def assemble(rows, c):

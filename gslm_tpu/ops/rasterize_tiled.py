@@ -41,14 +41,21 @@ from gslm_tpu.struct import pytree_dataclass
 
 
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
-                                 "antialiasing"))
+                                 "antialiasing", "impl"))
 class RasterConfig:
-    """Static rasterizer capacities (compile-time)."""
+    """Static rasterizer capacities (compile-time).
+
+    ``impl`` selects the compositor when the caller doesn't override it:
+    "tiled" (XLA), "pallas" (TPU kernel, custom-VJP), "pallas_jvp" (TPU
+    kernel, custom-JVP — for forward-mode LM matvecs), "auto" (pallas on
+    TPU, tiled elsewhere), "ref" (dense golden rasterizer).
+    """
 
     dup_capacity: int = 1 << 18     # total (gaussian, tile) entries
     max_per_tile: int = 1024        # splats composited per tile
     tile_chunk: int = 32            # tiles per lax.map step
     antialiasing: bool = False
+    impl: str = "tiled"
 
 
 def _cdiv(a: int, b: int) -> int:

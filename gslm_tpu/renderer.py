@@ -40,6 +40,13 @@ class RenderOutput:
     max_tile_load: jnp.ndarray  # () int32
 
 
+def resolve_impl(impl: str) -> str:
+    """Resolve "auto" to the concrete compositor for this backend."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    return impl
+
+
 def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     """image (3,H,W), exposure (3,4) affine: out_d = Σ_c img_c E[c,d] + E[d,3]
     (reference gaussian_renderer/__init__.py:113-115). Elementwise mul+sum so
@@ -55,11 +62,14 @@ def render(params: GaussianParams, camera: Camera, bg: jnp.ndarray, *,
            use_trained_exp: bool = False,
            alive: jnp.ndarray | None = None,
            mean2d_offset: jnp.ndarray | None = None,
-           impl: str = "tiled") -> RenderOutput:
-    """Render one view. ``impl`` selects the compositor:
-    "tiled" (XLA tile pipeline, differentiable), "pallas" (TPU kernel,
-    forward-only for now), "auto" (pallas on TPU else tiled), or "ref"
-    (dense golden rasterizer)."""
+           impl: str | None = None) -> RenderOutput:
+    """Render one view. ``impl`` (defaulting to ``config.impl``) selects
+    the compositor: "tiled" (XLA tile pipeline), "pallas" (TPU kernel with
+    custom VJP), "pallas_jvp" (TPU kernel with custom JVP, for LM J·v),
+    "auto" (pallas on TPU else tiled), or "ref" (dense golden
+    rasterizer)."""
+    if impl is None:
+        impl = config.impl
     if active_sh_degree is None:
         active_sh_degree = params.sh_degree
 
@@ -73,12 +83,12 @@ def render(params: GaussianParams, camera: Camera, bg: jnp.ndarray, *,
         out.setdefault("n_duplicates", jnp.int32(0))
         out.setdefault("overflow", jnp.int32(0))
         out.setdefault("max_tile_load", jnp.int32(0))
-    elif impl == "pallas" or (impl == "auto" and
-                              jax.default_backend() == "tpu"):
+    elif resolve_impl(impl) in ("pallas", "pallas_jvp"):
         from gslm_tpu.ops.rasterize_pallas import rasterize_pallas
         out = rasterize_pallas(splats, camera.height, camera.width, bg,
                                config,
-                               interpret=jax.default_backend() != "tpu")
+                               interpret=jax.default_backend() != "tpu",
+                               mode="jvp" if impl == "pallas_jvp" else "vjp")
     else:
         out = rasterize_tiled(splats, camera.height, camera.width, bg, config)
 
@@ -101,7 +111,7 @@ def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
                  use_trained_exp: bool = False,
                  alive: jnp.ndarray | None = None,
                  mean2d_offset: jnp.ndarray | None = None,
-                 impl: str = "tiled") -> RenderOutput:
+                 impl: str | None = None) -> RenderOutput:
     """Render a padded camera batch: vmap of ``render`` over the view axis.
 
     ``mean2d_offset`` is deliberately **unbatched** ((P, 2)): its cotangent

@@ -52,8 +52,15 @@ class LMOperators:
                  params: GaussianParams,
                  group_mask: dict[str, float] | None = None,
                  alive: jnp.ndarray | None = None,
-                 reuse_linearization: bool = True):
+                 reuse_linearization: bool = True,
+                 residual_fn_jvp: Callable | None = None):
+        """``residual_fn_jvp``: optional forward-mode-capable variant of
+        ``residual_fn`` (same primal). Needed when residual_fn renders
+        through a custom-VJP Pallas kernel — JAX allows only one custom
+        rule per function, so J·v uses the custom-JVP twin
+        (renderer impl="pallas_jvp") while Jᵀ·u uses the custom-VJP one."""
         self.residual_fn = residual_fn
+        self.residual_fn_jvp = residual_fn_jvp or residual_fn
         self.params = params
         self._mask = _mask_fn(group_mask, alive)
         self.reuse_linearization = reuse_linearization
@@ -66,7 +73,8 @@ class LMOperators:
     # -- operator protocol (reference solver_functions.py:83-138) --------
     def matvec(self, v: GaussianParams) -> ResidualState:
         """J·v via forward-mode."""
-        _, jv = jax.jvp(self.residual_fn, (self.params,), (self._mask(v),))
+        _, jv = jax.jvp(self.residual_fn_jvp, (self.params,),
+                        (self._mask(v),))
         return jv
 
     def matvec_T(self, u: ResidualState) -> GaussianParams:

@@ -43,7 +43,8 @@ def make_raster_config(tpu: cfg_mod.TpuParams, pipe: cfg_mod.PipelineParams,
     return RasterConfig(dup_capacity=dup,
                         max_per_tile=tpu.max_per_tile,
                         tile_chunk=min(tpu.tile_chunk, tiles),
-                        antialiasing=pipe.antialiasing)
+                        antialiasing=pipe.antialiasing,
+                        impl=tpu.raster_impl)
 
 
 @functools.partial(

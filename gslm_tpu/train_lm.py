@@ -50,6 +50,21 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
                                use_trained_exp=use_exp,
                                active_sh_degree=active_sh_degree, alive=alive)
 
+    # forward-mode twin for J·v when the VJP path renders through the
+    # custom-VJP Pallas kernel (see LMOperators.residual_fn_jvp)
+    from gslm_tpu.renderer import resolve_impl
+    residual_fn_jvp = None
+    if resolve_impl(rcfg.impl) == "pallas":
+        jcfg = rcfg.replace(impl="pallas_jvp")
+
+        def residual_fn_jvp(p):
+            return batch_residuals(p, window, bg, config=jcfg,
+                                   lambda_dssim=lambda_dssim,
+                                   disable_ssim=lm.disable_ssim,
+                                   use_trained_exp=use_exp,
+                                   active_sh_degree=active_sh_degree,
+                                   alive=alive)
+
     def val_loss(p):
         r = batch_residuals(p, val, bg, config=rcfg,
                             lambda_dssim=lambda_dssim,
@@ -60,7 +75,8 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
 
     group_mask = G.param_group_mask(
         mask_xyz=lm.mask_xyz)  # reference masks xyz only (train_jvp.py:221)
-    ops = LMOperators(residual_fn, params, group_mask=group_mask, alive=alive)
+    ops = LMOperators(residual_fn, params, group_mask=group_mask, alive=alive,
+                      residual_fn_jvp=residual_fn_jvp)
     start_loss = ops.loss_scalar
 
     b = jax.tree.map(jnp.negative, ops.residual)     # b = -r (train_jvp.py:243)
