@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gslm_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 from gslm_tpu.ops.projection import TILE
+from gslm_tpu.ops.rasterize_pallas import strict_prefix_sum
 
 # layout constants shared with rasterize_pallas (imported there to avoid a
 # cycle we re-declare the record geometry here)
@@ -46,9 +47,6 @@ def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
     ntx = starts_ref[pl.num_programs(0) * GROUP]
     pid = pl.program_id(0)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    tri = (col < row).astype(jnp.float32)
 
     def one_tile(g, _):
         t = pid * GROUP + g
@@ -109,17 +107,13 @@ def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
                               fd[:, 5:6] * expp + a_raw * pow_dot, 0.0)
 
             l = jnp.log1p(-a)
-            cum = jax.lax.dot_general(tri, l, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            cum = strict_prefix_sum(l)
             t_before = t_run * jnp.exp(cum)
             t_after = t_before * (1.0 - a)
 
             # transmittance log-derivative prefix
             dlog = -a_dot / (1.0 - a)
-            rcum = jax.lax.dot_general(tri, dlog, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            rcum = strict_prefix_sum(dlog)
             t_before_dot = t_before * (r_run + rcum)
 
             ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
