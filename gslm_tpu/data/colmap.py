@@ -152,6 +152,10 @@ def read_points3d_text_with_ids(path):
 
 def read_points3d_binary(path):
     """→ (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64)."""
+    from gslm_tpu import native
+    fast = native.parse_points3d_bin(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         (n,) = _read(f, 8, "Q")
         xyz = np.empty((n, 3))

@@ -164,8 +164,11 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, num_images: int,
     f_rest = jnp.zeros((n, k, 3), dtype=jnp.float32)
 
     if mean_sq_dist is None:
-        from gslm_tpu.ops.knn import mean_sq_dist_3nn
-        mean_sq_dist = mean_sq_dist_3nn(xyz)
+        from gslm_tpu import native
+        mean_sq_dist = native.mean_sq_dist_3nn(np.asarray(points))
+        if mean_sq_dist is None:     # no native toolchain: JAX fallback
+            from gslm_tpu.ops.knn import mean_sq_dist_3nn
+            mean_sq_dist = mean_sq_dist_3nn(xyz)
     dist2 = jnp.clip(jnp.asarray(mean_sq_dist, jnp.float32), 1e-7, None)
     scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
 

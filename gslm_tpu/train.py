@@ -104,6 +104,9 @@ def evaluate(params, aux, cams: CameraBatch, bg, rcfg, active_sh_degree,
 
 
 def training(args, *, lm_phase_hook=None):
+    if getattr(args, "detect_anomaly", False):
+        from gslm_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
     model = cfg_mod.extract(args, cfg_mod.ModelParams)
     opt = cfg_mod.extract(args, cfg_mod.OptimizationParams)
     pipe = cfg_mod.extract(args, cfg_mod.PipelineParams)
@@ -164,15 +167,34 @@ def training(args, *, lm_phase_hook=None):
             print(f"Viewer server disabled ({e})")
 
     key = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
     indices: list[int] = []
     ema_loss = 0.0
     t_start = time.time()
     jvp_start = getattr(args, "jvp_start", opt.iterations + 1)
 
+    from gslm_tpu.utils.profiling import IterTimer
+    iter_timer = IterTimer()
+    profile_dir = getattr(args, "profile_dir", "")
+    profile_from = getattr(args, "profile_from", 50)
+    profile_until = profile_from + getattr(args, "profile_steps", 10)
+    profiling = False
+
     from tqdm import tqdm
     progress = tqdm(range(first_iter, opt.iterations), desc="Training")
     for it_idx in progress:
         iteration = it_idx + 1
+        if profile_dir:
+            if iteration == profile_from and not profiling:
+                jax.block_until_ready(params.xyz)
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif iteration == profile_until and profiling:
+                jax.block_until_ready(params.xyz)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"\n[ITER {iteration}] wrote profiler trace to "
+                      f"{profile_dir}")
         active_sh = min(iteration // 1000, params.sh_degree)
         if viewer is not None:
             viewer.poll(params, aux, bg_default, rcfg=rcfg,
@@ -186,11 +208,19 @@ def training(args, *, lm_phase_hook=None):
                 scene, params, aux, opt_state, iteration, all_train, rcfg,
                 bg_default)
         else:
-            if not indices:
-                indices = list(range(len(train_metas)))
-                random.shuffle(indices)
-            idx = indices.pop()
-            cam = jax.tree.map(lambda x: x[idx:idx + 1], all_train)
+            if getattr(args, "sgd_batch", False):
+                # strided multi-view window (train_sgd.py path)
+                from gslm_tpu.train_sgd import select_window
+                win = select_window(len(train_metas),
+                                    getattr(args, "num_images", 5), np_rng)
+                idx = win[0]
+                cam = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
+            else:
+                if not indices:
+                    indices = list(range(len(train_metas)))
+                    random.shuffle(indices)
+                idx = indices.pop()
+                cam = jax.tree.map(lambda x: x[idx:idx + 1], all_train)
 
             if opt.random_background:
                 key, sub = jax.random.split(key)
@@ -227,11 +257,13 @@ def training(args, *, lm_phase_hook=None):
             if iteration % 10 == 0:
                 progress.set_postfix({"Loss": f"{ema_loss:.7f}",
                                       "P": int(np.asarray(aux.num_alive))})
+            iter_ms = iter_timer.tick()
             if writer is not None:
                 writer.add_scalar("train_loss_patches/total_loss", loss_f,
                                   iteration)
                 writer.add_scalar("train_loss_patches/l1_loss",
                                   float(metrics["l1"]), iteration)
+                writer.add_scalar("iter_time", iter_ms, iteration)
 
         if iteration in test_iterations:
             stats = {"train": evaluate(params, aux,
@@ -276,6 +308,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="raise on the first NaN (jax_debug_nans)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of iterations "
+                             "profile_from..profile_from+profile_steps")
+    parser.add_argument("--profile_from", type=int, default=50)
+    parser.add_argument("--profile_steps", type=int, default=10)
     return parser
 
 

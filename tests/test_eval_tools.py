@@ -119,7 +119,9 @@ def test_viewer_protocol():
     result = {}
 
     def client():
-        s = socket.create_connection(("127.0.0.1", port), timeout=20)
+        # generous timeout: first compile of the render can take tens of
+        # seconds when the machine is under load
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
         payload = json.dumps(msg).encode()
         s.sendall(len(payload).to_bytes(4, "little") + payload)
         img = b""
