@@ -56,6 +56,106 @@ def make_sharded_train_step(mesh, params, aux, opt_state, camera_batch, *,
                    out_shardings=(p_sh, a_sh, o_sh, r))
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
+def make_dp_train_step(mesh, *, rcfg, opt, active_sh_degree, use_exp,
+                       sparse_adam, update_stats):
+    """Data-parallel Adam step via shard_map: views sharded over "data",
+    parameters/optimizer replicated, gradients pmean'd over ICI.
+
+    Unlike the GSPMD path (make_sharded_train_step), this works with the
+    Pallas compositor (rcfg.impl="pallas"): each device runs the kernel on
+    its local view shard — GSPMD cannot partition a pallas_call, but
+    shard_map places one per device by construction. Use when the model
+    fits one chip's HBM and scaling is over cameras (the common case; the
+    reference is single-GPU so any multi-chip mode is new capability).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.densify import add_densification_stats
+    from gslm_tpu.optim import adam_step, group_learning_rates
+    from gslm_tpu.solver.residuals import scalar_training_loss
+    from gslm_tpu.utils.image import psnr
+
+    def step_fn(params, aux, opt_state, cam, bg, step, spatial_lr_scale,
+                depth_weight):
+        def loss_fn(p, m2d):
+            loss, info = scalar_training_loss(
+                p, cam, bg, config=rcfg, lambda_dssim=opt.lambda_dssim,
+                use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
+                alive=aux.alive, mean2d_offset=m2d)
+            out = info["render"]
+            npix = jnp.maximum(jnp.sum(cam.depth_mask), 1.0)
+            depth_l1 = jnp.sum(jnp.abs(out.invdepth - cam.invdepth_gt)
+                               * cam.depth_mask) / npix
+            return loss + depth_weight * depth_l1, (info, depth_l1)
+
+        m2d0 = jnp.zeros((params.capacity, 2), jnp.float32)
+        (loss, (info, depth_l1)), (g_params, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d0)
+
+        # ICI collectives: mean loss/grads over view shards; stats sum the
+        # per-view screen gradients (matching train_step's B rescale)
+        loss = jax.lax.pmean(loss, "data")
+        g_params = jax.lax.pmean(g_params, "data")
+        g_m2d = jax.lax.psum(g_m2d * cam.batch_size, "data")
+        out = info["render"]
+        radii = jax.lax.pmax(jnp.max(out.radii, axis=0), "data")
+        if update_stats:
+            aux_new = add_densification_stats(aux, g_m2d, radii)
+        else:
+            aux_new = aux
+
+        lrs = group_learning_rates(opt, step, spatial_lr_scale)
+        visible = (radii > 0) if sparse_adam else None
+        params, opt_state = adam_step(params, g_params, opt_state, lrs,
+                                      visible)
+        metrics = {"loss": loss,
+                   "l1": jax.lax.pmean(jnp.mean(info["l1"]), "data"),
+                   "depth_l1": jax.lax.pmean(depth_l1, "data"),
+                   "psnr": jax.lax.pmean(
+                       jnp.mean(psnr(out.render, cam.gt_image)), "data"),
+                   "overflow": jax.lax.pmax(jnp.max(out.overflow), "data"),
+                   "max_tile_load": jax.lax.pmax(
+                       jnp.max(out.max_tile_load), "data")}
+        return params, aux_new, opt_state, metrics
+
+    rep = P()
+    mapped = _shard_map(
+        step_fn, mesh,
+        in_specs=(rep, rep, rep, P("data"), rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep))
+    return jax.jit(mapped)
+
+
+def make_dp_lm_step(mesh, *, rcfg, lm, active_sh_degree, use_exp,
+                    lambda_dssim=0.2):
+    """Data-parallel LM outer step via shard_map: the LM view window and
+    validation views shard over "data"; CGLS residual dots, Jᵀ·u partials,
+    and line-search losses psum over ICI (LMOperators axis_name wiring).
+    Pallas-kernel compatible, unlike the GSPMD variant."""
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.train_lm import lm_outer_step
+    raw = lm_outer_step.__wrapped__
+
+    def step_fn(params, alive, window, val, bg):
+        return raw(params, alive, window, val, bg, rcfg=rcfg, lm=lm,
+                   active_sh_degree=active_sh_degree, use_exp=use_exp,
+                   lambda_dssim=lambda_dssim, axis_name="data")
+
+    rep = P()
+    mapped = _shard_map(step_fn, mesh,
+                        in_specs=(rep, rep, P("data"), P("data"), rep),
+                        out_specs=(rep, rep))
+    return jax.jit(mapped)
+
+
 def make_sharded_lm_step(mesh, params, window_batch, val_batch, *, rcfg, lm,
                          active_sh_degree, use_exp, lambda_dssim=0.2):
     """Jitted LM outer step (train_lm.lm_outer_step) over the mesh.

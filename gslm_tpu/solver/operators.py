@@ -53,22 +53,41 @@ class LMOperators:
                  group_mask: dict[str, float] | None = None,
                  alive: jnp.ndarray | None = None,
                  reuse_linearization: bool = True,
-                 residual_fn_jvp: Callable | None = None):
+                 residual_fn_jvp: Callable | None = None,
+                 axis_name: str | None = None):
         """``residual_fn_jvp``: optional forward-mode-capable variant of
         ``residual_fn`` (same primal). Needed when residual_fn renders
         through a custom-VJP Pallas kernel — JAX allows only one custom
         rule per function, so J·v uses the custom-JVP twin
-        (renderer impl="pallas_jvp") while Jᵀ·u uses the custom-VJP one."""
+        (renderer impl="pallas_jvp") while Jᵀ·u uses the custom-VJP one.
+
+        ``axis_name``: set when running inside shard_map with the residual
+        (view) axis sharded across devices — residual-space dots and Jᵀ·u
+        partials then psum over that axis (params stay replicated)."""
         self.residual_fn = residual_fn
         self.residual_fn_jvp = residual_fn_jvp or residual_fn
         self.params = params
         self._mask = _mask_fn(group_mask, alive)
+        self.axis_name = axis_name
         self.reuse_linearization = reuse_linearization
         if reuse_linearization:
             self.residual, self._vjp_fn = jax.vjp(residual_fn, params)
         else:
             self.residual = residual_fn(params)
             self._vjp_fn = None
+        # bind collective-aware vector algebra (the static methods stay
+        # for the single-device path)
+        if axis_name is not None:
+            self.dot = functools.partial(self._dot_axis, axis_name)
+            self.saxpy = LMOperators.saxpy
+
+    @staticmethod
+    def _dot_axis(axis_name, a, b, damp=1.0):
+        if isinstance(a, ResidualState):
+            assert damp == 1.0 or not isinstance(damp, dict)
+            local = res_dot(a, b) * (1.0 if damp == 1.0 else damp)
+            return jax.lax.psum(local, axis_name)
+        return G.vdot(a, b, damp)   # params replicated: no collective
 
     # -- operator protocol (reference solver_functions.py:83-138) --------
     def matvec(self, v: GaussianParams) -> ResidualState:
@@ -78,12 +97,15 @@ class LMOperators:
         return jv
 
     def matvec_T(self, u: ResidualState) -> GaussianParams:
-        """Jᵀ·u via reverse-mode."""
+        """Jᵀ·u via reverse-mode (psum of per-shard partials when the view
+        axis is sharded)."""
         if self._vjp_fn is not None:
             (g,) = self._vjp_fn(u)
         else:
             _, vjp_fn = jax.vjp(self.residual_fn, self.params)
             (g,) = vjp_fn(u)
+        if self.axis_name is not None:
+            g = jax.lax.psum(g, self.axis_name)
         return self._mask(g)
 
     def get_initial_solution(self) -> GaussianParams:
@@ -91,6 +113,8 @@ class LMOperators:
 
     @property
     def loss_scalar(self):
+        if self.axis_name is not None:
+            return jax.lax.psum(self.residual.loss_scalar, self.axis_name)
         return self.residual.loss_scalar
 
     # -- generalized vector algebra, dispatching on space -----------------

@@ -78,7 +78,10 @@ def train_step(params, aux, opt_state, cam: CameraBatch, bg, step,
     out = info["render"]
     radii = jnp.max(out.radii, axis=0)             # (P,) over batch views
     if update_stats:
-        aux = add_densification_stats(aux, g_m2d, radii)
+        # stats accumulate the sum of per-view screen gradients: undo the
+        # mean-over-views 1/B so magnitudes don't depend on batch size (and
+        # match the data-parallel psum path, parallel/steps.py)
+        aux = add_densification_stats(aux, g_m2d * cam.batch_size, radii)
 
     lrs = group_learning_rates(opt, step, spatial_lr_scale)
     visible = (radii > 0) if sparse_adam else None
@@ -104,6 +107,9 @@ def evaluate(params, aux, cams: CameraBatch, bg, rcfg, active_sh_degree,
 
 
 def training(args, *, lm_phase_hook=None):
+    if getattr(args, "platform", ""):
+        # must beat the ambient JAX_PLATFORMS preset before backend init
+        jax.config.update("jax_platforms", args.platform)
     if getattr(args, "detect_anomaly", False):
         from gslm_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()
@@ -138,6 +144,28 @@ def training(args, *, lm_phase_hook=None):
 
     rcfg = make_raster_config(tpu, pipe, all_train.height, all_train.width,
                               params.capacity)
+
+    # --- multi-chip: shard_map data-parallel steps over a device mesh ----
+    mesh = None
+    dp_cache: dict = {}
+    if tpu.mesh_data * tpu.mesh_model > 1:
+        from gslm_tpu.parallel import make_mesh
+        mesh = make_mesh(tpu.mesh_data, tpu.mesh_model)
+        print(f"Data-parallel training over mesh {dict(mesh.shape)} "
+              f"({tpu.mesh_data} views/step)")
+
+    def get_step_fn(active_sh: int, update_stats: bool):
+        if mesh is None:
+            return None
+        key = (active_sh, update_stats)
+        if key not in dp_cache:
+            from gslm_tpu.parallel import make_dp_train_step
+            dp_cache[key] = make_dp_train_step(
+                mesh, rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
+                use_exp=model.train_test_exp,
+                sparse_adam=opt.optimizer_type == "sparse_adam",
+                update_stats=update_stats)
+        return dp_cache[key]
     bg_default = jnp.ones(3) if model.white_background else jnp.zeros(3)
     depth_w_fn = get_expon_lr_func(opt.depth_l1_weight_init,
                                    opt.depth_l1_weight_final,
@@ -208,11 +236,16 @@ def training(args, *, lm_phase_hook=None):
                 scene, params, aux, opt_state, iteration, all_train, rcfg,
                 bg_default)
         else:
-            if getattr(args, "sgd_batch", False):
-                # strided multi-view window (train_sgd.py path)
+            if getattr(args, "sgd_batch", False) or mesh is not None:
+                # multi-view window (train_sgd path / one view per data
+                # shard in mesh mode)
                 from gslm_tpu.train_sgd import select_window
-                win = select_window(len(train_metas),
-                                    getattr(args, "num_images", 5), np_rng)
+                n_views = getattr(args, "num_images", 5) \
+                    if getattr(args, "sgd_batch", False) else tpu.mesh_data
+                if mesh is not None:
+                    n_views = max(n_views, tpu.mesh_data)
+                    n_views -= n_views % tpu.mesh_data   # shardable count
+                win = select_window(len(train_metas), n_views, np_rng)
                 idx = win[0]
                 cam = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
             else:
@@ -229,12 +262,20 @@ def training(args, *, lm_phase_hook=None):
                 bg = bg_default
 
             in_densify = iteration < opt.densify_until_iter
-            params, aux, opt_state, metrics = train_step(
-                params, aux, opt_state, cam, bg, iteration, spatial_lr_scale,
-                depth_w_fn(iteration) if train_metas[idx].depth_reliable else 0.0,
-                rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
-                use_exp=model.train_test_exp, sparse_adam=sparse,
-                update_stats=in_densify)
+            dw = depth_w_fn(iteration) \
+                if train_metas[idx].depth_reliable else 0.0
+            dp_fn = get_step_fn(active_sh, in_densify)
+            if dp_fn is not None:
+                params, aux, opt_state, metrics = dp_fn(
+                    params, aux, opt_state, cam, bg, jnp.int32(iteration),
+                    jnp.float32(spatial_lr_scale), jnp.float32(dw))
+            else:
+                params, aux, opt_state, metrics = train_step(
+                    params, aux, opt_state, cam, bg, iteration,
+                    spatial_lr_scale, dw,
+                    rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
+                    use_exp=model.train_test_exp, sparse_adam=sparse,
+                    update_stats=in_densify)
 
             # --- densification schedule (reference train.py:160-174) ---
             if in_densify and iteration > opt.densify_from_iter \
@@ -310,6 +351,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="raise on the first NaN (jax_debug_nans)")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a jax platform (e.g. cpu for virtual-"
+                             "device mesh testing)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write a jax.profiler trace of iterations "
                              "profile_from..profile_from+profile_steps")

@@ -35,13 +35,17 @@ from gslm_tpu.solver.residuals import batch_residuals
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "lm", "active_sh_degree", "use_exp",
-                     "lambda_dssim"))
+                     "lambda_dssim", "axis_name"))
 def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
                   *, rcfg: RasterConfig, lm: cfg_mod.LMParams,
                   active_sh_degree: int, use_exp: bool,
-                  lambda_dssim: float = 0.2):
+                  lambda_dssim: float = 0.2, axis_name: str | None = None):
     """One LM outer step (reference train_jvp.py:221-288). Returns
-    (new_params, info dict)."""
+    (new_params, info dict).
+
+    ``axis_name``: set when the window/val view axes are sharded across a
+    mesh axis inside shard_map — residual dots, Jᵀ·u partials, and the
+    line-search losses then psum over it (parallel/steps.py wires this)."""
 
     def residual_fn(p):
         return batch_residuals(p, window, bg, config=rcfg,
@@ -71,12 +75,14 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
                             disable_ssim=lm.disable_ssim,
                             use_trained_exp=use_exp,
                             active_sh_degree=active_sh_degree, alive=alive)
+        if axis_name is not None:
+            return jax.lax.psum(r.loss_scalar, axis_name)
         return r.loss_scalar
 
     group_mask = G.param_group_mask(
         mask_xyz=lm.mask_xyz)  # reference masks xyz only (train_jvp.py:221)
     ops = LMOperators(residual_fn, params, group_mask=group_mask, alive=alive,
-                      residual_fn_jvp=residual_fn_jvp)
+                      residual_fn_jvp=residual_fn_jvp, axis_name=axis_name)
     start_loss = ops.loss_scalar
 
     b = jax.tree.map(jnp.negative, ops.residual)     # b = -r (train_jvp.py:243)
@@ -116,20 +122,36 @@ def val_indices(num_cams: int, lm: cfg_mod.LMParams) -> list[int]:
             for i in range(lm.num_val_views)]
 
 
+_DP_LM_CACHE: dict = {}
+
+
 def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
              iteration: int, rng: np.random.Generator, use_exp: bool,
-             lambda_dssim: float, active_sh_degree: int, verbose=True):
-    """Host driver for one LM iteration: pick windows, run the jitted step."""
+             lambda_dssim: float, active_sh_degree: int, verbose=True,
+             mesh=None):
+    """Host driver for one LM iteration: pick windows, run the jitted step.
+    With a mesh, the window/val views shard over its "data" axis (the
+    shard_map path — works with the Pallas kernels)."""
     n = all_train.batch_size
     win = select_window(n, lm.num_images, rng)
     vidx = val_indices(n, lm)
     window = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
     val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
 
-    params, info = lm_outer_step(params, aux.alive, window, val, bg,
-                                 rcfg=rcfg, lm=lm,
-                                 active_sh_degree=active_sh_degree,
-                                 use_exp=use_exp, lambda_dssim=lambda_dssim)
+    if mesh is not None:
+        from gslm_tpu.parallel import make_dp_lm_step
+        key = (id(mesh), active_sh_degree)
+        if key not in _DP_LM_CACHE:
+            _DP_LM_CACHE[key] = make_dp_lm_step(
+                mesh, rcfg=rcfg, lm=lm, active_sh_degree=active_sh_degree,
+                use_exp=use_exp, lambda_dssim=lambda_dssim)
+        params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg)
+    else:
+        params, info = lm_outer_step(params, aux.alive, window, val, bg,
+                                     rcfg=rcfg, lm=lm,
+                                     active_sh_degree=active_sh_degree,
+                                     use_exp=use_exp,
+                                     lambda_dssim=lambda_dssim)
     if verbose:
         print(f"\n[ITER {iteration}] LM window {win}: "
               f"loss {float(info['start_loss']):.6f} → val "
@@ -148,13 +170,26 @@ def main():
     lm = cfg_mod.extract(args, cfg_mod.LMParams)
     model = cfg_mod.extract(args, cfg_mod.ModelParams)
     opt = cfg_mod.extract(args, cfg_mod.OptimizationParams)
+    tpu = cfg_mod.extract(args, cfg_mod.TpuParams)
     rng = np.random.default_rng(0)
+
+    mesh = None
+    if tpu.mesh_data * tpu.mesh_model > 1:
+        if getattr(args, "platform", ""):
+            # training() applies this too, but the mesh is built first
+            jax.config.update("jax_platforms", args.platform)
+        from gslm_tpu.parallel import make_mesh
+        mesh = make_mesh(tpu.mesh_data, tpu.mesh_model)
+        assert lm.num_images % tpu.mesh_data == 0, \
+            "--num_images must divide by --mesh_data"
+        assert lm.num_val_views % tpu.mesh_data == 0, \
+            "--num_val_views must divide by --mesh_data"
 
     def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
         active_sh = min(iteration // 1000, params.sh_degree)
         params, _ = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
                              iteration, rng, model.train_test_exp,
-                             opt.lambda_dssim, active_sh)
+                             opt.lambda_dssim, active_sh, mesh=mesh)
         return params, aux, opt_state
 
     print("Optimizing " + args.model_path + f" (LM from {lm.jvp_start})")

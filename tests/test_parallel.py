@@ -110,3 +110,50 @@ def test_graft_entry_compiles():
     img = jax.jit(fn)(*args)
     assert img.shape == (3, 128, 128)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_dp_shard_map_train_step_matches_single(tiny):
+    """shard_map data-parallel step (Pallas-capable path) vs single-device."""
+    params, aux, cams = tiny
+    opt = cfg_mod.OptimizationParams()
+    opt_state = init_adam(params)
+    bg = jnp.zeros(3)
+    args = (bg, jnp.int32(1), jnp.float32(1.0), jnp.float32(0.0))
+    kw = dict(rcfg=RCFG, opt=opt, active_sh_degree=3, use_exp=False,
+              sparse_adam=False, update_stats=True)
+
+    ref_p, ref_aux, ref_opt, ref_m = train_step(
+        params, aux, opt_state, cams, *args, **kw)
+
+    from gslm_tpu.parallel import make_dp_train_step
+    mesh = make_mesh(4, 2)
+    step_fn = make_dp_train_step(mesh, **kw)
+    got_p, got_aux, got_opt, got_m = step_fn(params, aux, opt_state, cams,
+                                             *args)
+    assert np.allclose(float(got_m["loss"]), float(ref_m["loss"]), atol=1e-6)
+    for g in ("xyz", "scaling", "opacity", "exposure"):
+        np.testing.assert_allclose(np.asarray(getattr(got_p, g)),
+                                   np.asarray(getattr(ref_p, g)),
+                                   atol=1e-5, err_msg=g)
+    np.testing.assert_allclose(np.asarray(got_aux.xyz_gradient_accum),
+                               np.asarray(ref_aux.xyz_gradient_accum),
+                               atol=1e-5)
+
+
+def test_dp_shard_map_lm_step_matches_single(tiny):
+    params, aux, cams = tiny
+    bg = jnp.zeros(3)
+    lm = cfg_mod.LMParams(cg_max_iter=1, cg_restart_iter=1,
+                          line_search_steps=2, num_val_views=4)
+    kw = dict(rcfg=RCFG, lm=lm, active_sh_degree=3, use_exp=False)
+
+    ref_p, ref_info = lm_outer_step(params, aux.alive, cams, cams, bg, **kw)
+
+    from gslm_tpu.parallel import make_dp_lm_step
+    mesh = make_mesh(4, 2)
+    lm_fn = make_dp_lm_step(mesh, **kw)
+    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg)
+    assert np.allclose(float(got_info["best_val_loss"]),
+                       float(ref_info["best_val_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p.xyz), np.asarray(ref_p.xyz),
+                               atol=1e-5)
