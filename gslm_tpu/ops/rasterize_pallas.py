@@ -1,34 +1,39 @@
-"""Pallas TPU tile-compositor kernel (forward path).
+"""Pallas TPU tile-compositor kernels (forward + custom-VJP backward).
 
-The production analog of the CUDA ``renderCUDA`` kernel (reference
-submodule diff-gaussian-rasterization, API at
+The production analog of the CUDA ``renderCUDA`` forward/backward kernels
+(reference submodule diff-gaussian-rasterization, API at
 gaussian_renderer/__init__.py:91-110), sharing stages 1-3 (duplicate →
 sort → ranges) with the XLA compositor (rasterize_tiled.py) and replacing
-stage 4 with one Pallas program per 16x16 tile:
+stage 4 with one Pallas program per group of 16x16 tiles:
 
-- splat records are pre-gathered into sorted order as one (L, 16) f32
-  array, so each tile's work is a *contiguous* HBM segment — every DMA is
-  coalesced (the CUDA kernel does the same via its sorted key list +
-  per-CTA batched shared-memory fetch);
-- each program walks its segment in chunks of K splats: a double-buffered
-  DMA pipelines the next chunk while the current one composites;
-- per-chunk front-to-back compositing is closed-form: the in-chunk
-  transmittance prefix is a strict-lower-triangular (K, K) matmul of
-  log1p(-alpha) on the MXU, carried across chunks by a running (1, 256)
-  transmittance — pixels live as a flat 256-lane vector (two full VPU
-  registers), never (16, 16);
-- the CUDA early-exit (T < 1e-4) maps to a per-pixel ``done`` mask with a
-  whole-chunk skip once every pixel saturates, preserving the exact
-  termination semantics of ops/composite.py (weights after the first
-  failing splat are zero; the background blends with the transmittance
-  frozen at the failure point).
+- splat records (16 f32 fields) are gathered into sorted order and PACKED
+  8 records per 128-lane row, with every tile's segment padded to a row
+  multiple — each DMA chunk is a dense, fully-aligned (K/8, 128) block
+  (Mosaic requires 128-aligned minor dims, and row-aligned segments keep
+  the backward's per-tile gradient writes exclusive);
+- each program walks its segment in chunks of K records: a double-buffered
+  DMA pipelines the next chunk while the current composites;
+- front-to-back compositing is closed-form: a per-row Hillis-Steele prefix
+  over the 8-record log1p(-alpha) row sums, plus a running in-row offset,
+  gives every record's transmittance; a running (1, 256) transmittance
+  carries across chunks. Pixels live as a flat 256-lane vector;
+- the CUDA early-exit (T < 1e-4) maps to the invariant "pixel frozen
+  before record i <=> T_i < eps" (T only decreases at contributing
+  records), preserving ops/composite.py semantics exactly: weights after
+  the first failing record are zero and the background blends with the
+  transmittance frozen at the failure point.
+
+The backward walks the same stream in REVERSE with zero saved state:
+pass 1 accumulates the total log-transmittance; pass 2 recovers each
+chunk's starting transmittance by subtracting chunk log-sums from the
+carried prefix (always <= 0: no overflow) and carries the suffix
+accumulator S_i = sum_{j>i} ok_j dw_j w_j + g_T t_final. Per-record
+gradients DMA out and scatter-add to Gaussians through the record
+gather's own VJP.
 
 Outputs per tile are (8, 256) rows [r, g, b, invdepth, t_final, pad...];
-background blending and canvas assembly happen outside in XLA.
-
-The kernel is forward-only: training uses it through the custom-VJP
-wrapper in rasterize_grad.py. On non-TPU backends tests run it in
-interpreter mode (interpret=True) against rasterize_tiled.
+background blending and canvas assembly happen outside in XLA. On
+non-TPU backends tests run everything in interpreter mode.
 """
 
 from __future__ import annotations
@@ -37,7 +42,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,21 +51,28 @@ from gslm_tpu.ops.rasterize_tiled import (RasterConfig, _cdiv,
                                           duplicate_sort_ranges)
 
 PIX = TILE * TILE          # 256 pixels per tile, flat lane layout
-# Record width is one full lane tile: Mosaic requires DMA'd blocks to be
-# 128-aligned in the minor dim. 10 of 128 floats carry data (v1 trade-off:
-# 8x DMA volume for fully legal, coalesced copies; a packed 8-records/row
-# layout can reclaim it later).
-FEAT = 128
-K = 256                     # splats per chunk (MXU-friendly)
+# Records-per-row packing (GSLM_RASTER_PACK in {1, 2, 4, 8}):
+#   PACK=1: one record per 128-lane row (10 of 128 floats used). Fastest
+#           per-chunk compute shapes on current Mosaic (fewest vector-op
+#           issues); 8x the HBM stream/footprint.
+#   PACK=8: dense 16-float records, zero padding — 8x less DMA traffic,
+#           gather/scatter volume, and HBM footprint (needed for
+#           million-Gaussian scenes), at ~30% more VPU-issue overhead.
+import os as _os
+PACK = int(_os.environ.get("GSLM_RASTER_PACK", "1"))
+assert PACK in (1, 2, 4, 8)
+FEAT = 128 // PACK         # f32 fields per record slot (10 used)
+ROW = PACK * FEAT          # 128
+K = 256                    # records per chunk
+RPC = K // PACK            # rows per chunk
 OUT_ROWS = 8               # r, g, b, invd, t_final, 3x pad
-GROUP = 8                  # tiles per program (amortizes grid-step overhead)
+GROUP = 8                  # tiles per program (amortizes grid overhead)
 
 
 def strict_prefix_sum(x):
-    """Strict prefix sum along axis 0 of (K, PIX) via log-shift adds
-    (Hillis-Steele): 8 sublane rolls instead of a (K, K) MXU matmul —
-    measured faster and exacter (pure f32 adds) than the triangular
-    matmul at Precision.HIGHEST."""
+    """Strict prefix sum along axis 0 via log-shift adds (Hillis-Steele):
+    sublane rolls instead of a triangular MXU matmul — faster and exact
+    f32 (the matmul at Precision.HIGHEST still carries bf16-pass error)."""
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = x
     sh = 1
@@ -83,28 +94,61 @@ def strict_suffix_sum(x):
     return s - x
 
 
+def _sub(f, k, j, w=1):
+    """Lane slice for field j (width w) of packed sub-record k."""
+    return f[:, PACK_OFF[k] + j:PACK_OFF[k] + j + w]
+
+
+PACK_OFF = [k * FEAT for k in range(PACK)]
+
+
+def _sub_geometry(f, k, px, py, rank0, count_rem):
+    """Alpha terms for packed sub-record k of a chunk.
+
+    f: (RPC, 128) packed rows. rank0: in-segment rank of the chunk's first
+    record. Returns dict of (RPC, 256) / (RPC, 1) arrays."""
+    dx = _sub(f, k, 0) - px
+    dy = _sub(f, k, 1) - py
+    power = (-0.5 * (_sub(f, k, 2) * dx * dx + _sub(f, k, 4) * dy * dy)
+             - _sub(f, k, 3) * dx * dy)
+    r_local = jax.lax.broadcasted_iota(jnp.int32, (RPC, 1), 0)
+    in_seg = (r_local * PACK + k) < (count_rem - rank0)
+    gate = in_seg & (power <= 0.0)
+    expp = jnp.where(gate, jnp.exp(power), 0.0)
+    a_raw = _sub(f, k, 5) * expp
+    a = jnp.minimum(a_raw, ALPHA_MAX)
+    contrib = a >= ALPHA_MIN
+    a = jnp.where(contrib, a, 0.0)
+    return dict(dx=dx, dy=dy, expp=expp, a_raw=a_raw, a=a, contrib=contrib)
+
+
+def _tile_px(starts_ref, t, lin):
+    ntx = starts_ref[pl.num_programs(0) * GROUP]
+    txc = ((t % ntx) * TILE).astype(jnp.float32)
+    tyc = ((t // ntx) * TILE).astype(jnp.float32)
+    px = txc + (lin % TILE).astype(jnp.float32)
+    py = tyc + (lin // TILE).astype(jnp.float32)
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
 def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
-    """One program = GROUP consecutive 16x16 tiles."""
-    ntx = starts_ref[pl.num_programs(0) * GROUP]   # stashed after starts
-    # hoisted out of the tile loop: pl.program_id has no lowering inside
-    # lax.fori_loop bodies under interpret mode
     pid = pl.program_id(0)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
     def one_tile(g, _):
         t = pid * GROUP + g
-        start = starts_ref[t]
-        count = counts_ref[t]
+        start = starts_ref[t]         # padded record offset (PACK-aligned)
+        count = counts_ref[t]         # true record count
         nchunks = pl.cdiv(count, K)
-
-        txc = ((t % ntx) * TILE).astype(jnp.float32)
-        tyc = ((t // ntx) * TILE).astype(jnp.float32)
-        px = txc + (lin % TILE).astype(jnp.float32)      # (1, 256)
-        py = tyc + (lin // TILE).astype(jnp.float32)
+        px, py = _tile_px(starts_ref, t, lin)
+        row0 = start // PACK
 
         def dma(slot, chunk):
             return pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(start + chunk * K, K), :],
+                feat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
                 scratch.at[slot], sem.at[slot])
 
         @pl.when(nchunks > 0)
@@ -120,42 +164,39 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
                 dma((chunk + 1) % 2, chunk + 1).start()
 
             dma(slot, chunk).wait()
-            f = scratch[slot]                                  # (K, FEAT)
+            f = scratch[slot]                              # (RPC, 128)
 
-            dx = f[:, 0:1] - px                                # (K, 256)
-            dy = f[:, 1:2] - py
-            power = (-0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
-                     - f[:, 3:4] * dx * dy)
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-            in_seg = slot_ids < (count - chunk * K)
-            gate = in_seg & (power <= 0.0)
-            alpha = jnp.where(gate, f[:, 5:6] * jnp.exp(power), 0.0)
-            alpha = jnp.minimum(alpha, ALPHA_MAX)
-            contrib = alpha >= ALPHA_MIN
-            a = jnp.where(contrib, alpha, 0.0)
+            subs = [_sub_geometry(f, k, px, py, chunk * K, count)
+                    for k in range(PACK)]
+            ls = [jnp.log1p(-s["a"]) for s in subs]
+            p_row = ls[0]
+            for k in range(1, PACK):
+                p_row = p_row + ls[k]
+            row_pref = strict_prefix_sum(p_row)            # (RPC, 256)
 
-            l = jnp.log1p(-a)                                  # (K, 256)
-            cum = strict_prefix_sum(l)
-            t_before = t_run * jnp.exp(cum)                    # (K, 256)
-            t_after = t_before * (1.0 - a)
+            off = jnp.zeros_like(p_row)
+            new_acc = acc
+            new_frozen = frozen
+            for k in range(PACK):
+                a = subs[k]["a"]
+                t_before = t_run * jnp.exp(row_pref + off)
+                t_after = t_before * (1.0 - a)
+                contrib = subs[k]["contrib"]
+                ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
+                w = jnp.where(ok, a * t_before, 0.0)
+                ff = (contrib & (t_after < T_EPS)
+                      & (t_before >= T_EPS)).astype(jnp.float32)
+                new_frozen = new_frozen + jnp.sum(ff * t_before, axis=0,
+                                                  keepdims=True)
+                # color/invdepth accumulation on the VPU: a (RPC,4,256)
+                # MXU matmul here is latency-bound (tiny contraction)
+                new_acc = new_acc + jnp.concatenate(
+                    [jnp.sum(w * _sub(f, k, 6 + c), axis=0, keepdims=True)
+                     for c in range(4)], axis=0)           # (4, 256)
+                off = off + ls[k]
 
-            done = frozen > 0.0                                # (1, 256)
-            ok = contrib & (t_after >= T_EPS) & ~done
-            w = jnp.where(ok, a * t_before, 0.0)               # (K, 256)
-
-            # first T<eps crossing freezes the background transmittance
-            fail = contrib & (t_after < T_EPS) & ~done
-            t_cand = jnp.max(jnp.where(fail, t_before, 0.0), axis=0,
-                             keepdims=True)
-            frozen = jnp.where(done, frozen, t_cand)
-
-            rgb_i = jax.lax.dot_general(
-                w, f[:, 6:10], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # (256, 4)
-            acc = acc + rgb_i.T                                # (4, 256)
-            t_run = t_run * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
-            return chunk + 1, t_run, frozen, acc
+            t_run = t_run * jnp.exp(jnp.sum(p_row, axis=0, keepdims=True))
+            return chunk + 1, t_run, new_frozen, new_acc
 
         def cond(carry):
             chunk, t_run, frozen, _ = carry
@@ -163,13 +204,12 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
             return (chunk < nchunks) & live
 
         t_run0 = jnp.ones((1, PIX), jnp.float32)
-        frozen0 = jnp.zeros((1, PIX), jnp.float32)
+        zero1 = jnp.zeros((1, PIX), jnp.float32)
         acc0 = jnp.zeros((4, PIX), jnp.float32)
         last, t_run, frozen, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_run0, frozen0, acc0))
+            cond, body, (jnp.int32(0), t_run0, zero1, acc0))
 
-        # early exit leaves the prefetched next-chunk DMA in flight; drain
-        # it so its semaphore can't leak into the next tile/grid step
+        # drain the prefetched next-chunk DMA on early exit
         @pl.when((last > 0) & (last < nchunks))
         def _():
             dma(last % 2, last).wait()
@@ -187,7 +227,7 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
               interpret: bool):
     """Invoke the forward compositor; returns (n_programs*GROUP, 8, 256)."""
     nt_pad = n_programs * GROUP
-    L_pad = feat.shape[0]
+    nrec = feat.shape[0] * PACK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
@@ -196,7 +236,7 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.VMEM((2, RPC, ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
@@ -205,37 +245,16 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=30 * L_pad * PIX, bytes_accessed=L_pad * FEAT * 4,
-            transcendentals=2 * L_pad * PIX),
+            flops=30 * nrec * PIX, bytes_accessed=nrec * FEAT * 4,
+            transcendentals=2 * nrec * PIX),
     )(starts_plus, counts_pad, feat)
 
 
 # ---------------------------------------------------------------------------
-# Backward (VJP) kernel.
-#
-# Math (matching the closed-form compositor in ops/composite.py, which the
-# CUDA back-to-front backward also implements): with per-splat alpha a_i,
-# transmittance T_i = prod_{j<i}(1 - a_j), weight w_i = ok_i a_i T_i, and
-# per-pixel output cotangents (g_rgb, g_invd, g_T):
-#
-#   dL/dw_i = sum_c g_c color_ic + g_invd invd_i           (:= dw_i)
-#   dL/da_i = [pre-freeze_i] (ok_i dw_i T_i - S_i / (1 - a_i))
-#   S_i      = sum_{j>i} ok_j dw_j w_j + g_T t_final        (suffix sum)
-#
-# Key structural fact: T only decreases at contributing splats, so
-# "pixel already frozen before splat i"  <=>  T_i < T_EPS. That removes
-# every piece of forward state from the backward walk — pass 1 only
-# accumulates the total log-transmittance; pass 2 walks the chunks in
-# REVERSE, recovering the chunk-start transmittance by division (exactly
-# the CUDA backward's T /= (1-alpha) trick, but chunked + deterministic)
-# and carrying the suffix accumulator S. The frozen-background cotangent
-# enters S exactly at the first-fail splat (t_after < eps <= t_before).
+# backward kernel (see module docstring for the math)
 # ---------------------------------------------------------------------------
-
-
 def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
                      rscratch, gscratch, rsem, wsem):
-    ntx = starts_ref[pl.num_programs(0) * GROUP]
     pid = pl.program_id(0)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
@@ -244,11 +263,8 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
         start = starts_ref[t]
         count = counts_ref[t]
         nchunks = pl.cdiv(count, K)
-
-        txc = ((t % ntx) * TILE).astype(jnp.float32)
-        tyc = ((t // ntx) * TILE).astype(jnp.float32)
-        px = txc + (lin % TILE).astype(jnp.float32)
-        py = tyc + (lin // TILE).astype(jnp.float32)
+        px, py = _tile_px(starts_ref, t, lin)
+        row0 = start // PACK
 
         g_r = gtiles_ref[g, 0:1, :]
         g_gg = gtiles_ref[g, 1:2, :]
@@ -258,29 +274,14 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
 
         def rdma(slot, chunk):
             return pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(start + chunk * K, K), :],
+                feat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
                 rscratch.at[slot], rsem.at[slot])
 
         def wdma(slot, chunk):
             return pltpu.make_async_copy(
                 gscratch.at[slot],
-                dfeat_hbm.at[pl.ds(start + chunk * K, K), :], wsem.at[slot])
-
-        def chunk_geom(f, chunk):
-            """Recompute alphas for a chunk (shared by both passes)."""
-            dx = f[:, 0:1] - px
-            dy = f[:, 1:2] - py
-            power = (-0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
-                     - f[:, 3:4] * dx * dy)
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-            in_seg = slot_ids < (count - chunk * K)
-            gate = in_seg & (power <= 0.0)
-            expp = jnp.where(gate, jnp.exp(power), 0.0)
-            a_raw = f[:, 5:6] * expp
-            a = jnp.minimum(a_raw, ALPHA_MAX)
-            contrib = a >= ALPHA_MIN
-            a = jnp.where(contrib, a, 0.0)
-            return dx, dy, expp, a_raw, a, contrib
+                dfeat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
+                wsem.at[slot])
 
         # ---- pass 1 (forward): total log-transmittance ------------------
         @pl.when(nchunks > 0)
@@ -295,8 +296,12 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
                 rdma((chunk + 1) % 2, chunk + 1).start()
 
             rdma(slot, chunk).wait()
-            _, _, _, _, a, _ = chunk_geom(rscratch[slot], chunk)
-            return lsum + jnp.sum(jnp.log1p(-a), axis=0, keepdims=True)
+            f = rscratch[slot]
+            for k in range(PACK):
+                s = _sub_geometry(f, k, px, py, chunk * K, count)
+                lsum = lsum + jnp.sum(jnp.log1p(-s["a"]), axis=0,
+                                      keepdims=True)
+            return lsum
 
         lsum = jax.lax.fori_loop(0, nchunks, p1_body,
                                  jnp.zeros((1, PIX), jnp.float32))
@@ -318,67 +323,91 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
 
             rdma(slot, chunk).wait()
             f = rscratch[slot]
-            dx, dy, expp, a_raw, a, contrib = chunk_geom(f, chunk)
 
-            # chunk-start transmittance recovered in LOG space: subtracting
-            # this chunk's log-sum from the carried prefix stays <= 0, so
-            # exp never overflows — a t_tail/prod division would hit
-            # 0 * inf = NaN once a chunk fully saturates (sum l < -88)
-            l = jnp.log1p(-a)
-            lsum_c = jnp.sum(l, axis=0, keepdims=True)
+            subs = [_sub_geometry(f, k, px, py, chunk * K, count)
+                    for k in range(PACK)]
+            ls = [jnp.log1p(-s["a"]) for s in subs]
+            p_row = ls[0]
+            for k in range(1, PACK):
+                p_row = p_row + ls[k]
+            lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
             lsum_prefix = jnp.minimum(lsum_upto - lsum_c, 0.0)
-            cum = lsum_prefix + strict_prefix_sum(l)
-            t_before = jnp.exp(cum)
-            t_after = t_before * (1.0 - a)
+            row_pref = lsum_prefix + strict_prefix_sum(p_row)
 
-            ok = contrib & (t_after >= T_EPS)
-            w = jnp.where(ok, a * t_before, 0.0)
-            dw = (f[:, 6:7] * g_r + f[:, 7:8] * g_gg + f[:, 8:9] * g_b
-                  + f[:, 9:10] * g_i)
+            # per-sub t_before / weights / dw / q terms (forward order)
+            tb, ws, dws, qs = [], [], [], []
+            off = jnp.zeros_like(p_row)
+            for k in range(PACK):
+                a = subs[k]["a"]
+                t_before = jnp.exp(row_pref + off)
+                t_after = t_before * (1.0 - a)
+                contrib = subs[k]["contrib"]
+                ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
+                w = jnp.where(ok, a * t_before, 0.0)
+                dw = (_sub(f, k, 6) * g_r + _sub(f, k, 7) * g_gg
+                      + _sub(f, k, 8) * g_b + _sub(f, k, 9) * g_i)
+                first_fail = contrib & (t_after < T_EPS) \
+                    & (t_before >= T_EPS)
+                q = jnp.where(ok, dw * w, 0.0) \
+                    + jnp.where(first_fail, g_T * t_before, 0.0)
+                tb.append(t_before)
+                ws.append(w)
+                dws.append(dw)
+                qs.append(q)
+                off = off + ls[k]
 
-            first_fail = contrib & (t_after < T_EPS) & (t_before >= T_EPS)
-            q = jnp.where(ok, dw * w, 0.0) \
-                + jnp.where(first_fail, g_T * t_before, 0.0)
-            s_i = s_acc + strict_suffix_sum(q)
+            q_row = qs[0]
+            for k in range(1, PACK):
+                q_row = q_row + qs[k]
+            row_suf = strict_suffix_sum(q_row)
 
-            pre_freeze = contrib & (t_before >= T_EPS)
-            da = jnp.where(
-                pre_freeze,
-                jnp.where(ok, dw * t_before, 0.0) - s_i / (1.0 - a), 0.0)
+            # suffix for sub k = carried + row suffix + later subs in row
+            gcols = []
+            tail = jnp.zeros_like(q_row)
+            for k in reversed(range(PACK)):
+                s_i = s_acc + row_suf + tail
+                a = subs[k]["a"]
+                contrib = subs[k]["contrib"]
+                pre_freeze = contrib & (tb[k] >= T_EPS)
+                ok = contrib & ((tb[k] * (1.0 - a)) >= T_EPS)
+                da = jnp.where(
+                    pre_freeze,
+                    jnp.where(ok, dws[k] * tb[k], 0.0) - s_i / (1.0 - a),
+                    0.0)
+                dpow = da * subs[k]["a_raw"]
+                dx, dy = subs[k]["dx"], subs[k]["dy"]
+                f2, f3, f4 = _sub(f, k, 2), _sub(f, k, 3), _sub(f, k, 4)
+                cols = jnp.concatenate([
+                    jnp.sum(dpow * -(f2 * dx + f3 * dy), axis=1,
+                            keepdims=True),
+                    jnp.sum(dpow * -(f4 * dy + f3 * dx), axis=1,
+                            keepdims=True),
+                    jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True),
+                    jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True),
+                    jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True),
+                    jnp.sum(da * subs[k]["expp"], axis=1, keepdims=True),
+                    jnp.sum(ws[k] * g_r, axis=1, keepdims=True),
+                    jnp.sum(ws[k] * g_gg, axis=1, keepdims=True),
+                    jnp.sum(ws[k] * g_b, axis=1, keepdims=True),
+                    jnp.sum(ws[k] * g_i, axis=1, keepdims=True),
+                    jnp.zeros((RPC, FEAT - 10), jnp.float32),
+                ], axis=1)                                 # (RPC, 16)
+                gcols.append(cols)
+                tail = tail + qs[k]
 
-            # chain to record fields; alpha clip is straight-through
-            # (composite.clip_alpha), so d a/d power = a_raw everywhere
-            dpow = da * a_raw
-            gbuf = jnp.concatenate([
-                jnp.sum(dpow * -(f[:, 2:3] * dx + f[:, 3:4] * dy), axis=1,
-                        keepdims=True),                       # d mean_x
-                jnp.sum(dpow * -(f[:, 4:5] * dy + f[:, 3:4] * dx), axis=1,
-                        keepdims=True),                       # d mean_y
-                jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True),
-                jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True),
-                jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True),
-                jnp.sum(da * expp, axis=1, keepdims=True),    # d opacity
-                jnp.sum(w * g_r, axis=1, keepdims=True),      # d color r
-                jnp.sum(w * g_gg, axis=1, keepdims=True),
-                jnp.sum(w * g_b, axis=1, keepdims=True),
-                jnp.sum(w * g_i, axis=1, keepdims=True),      # d invdepth
-                jnp.zeros((K, FEAT - 10), jnp.float32),
-            ], axis=1)
+            gbuf = jnp.concatenate(gcols[::-1], axis=1)    # (RPC, 128)
 
-            # double-buffered writes: the slot's previous write (2 reverse
-            # steps ago) must land before the scratch is overwritten
             @pl.when(i >= 2)
             def _():
                 wdma(i % 2, chunk + 2).wait()
             gscratch[i % 2] = gbuf
             wdma(i % 2, chunk).start()
 
-            s_acc = s_acc + jnp.sum(q, axis=0, keepdims=True)
+            s_acc = s_acc + jnp.sum(q_row, axis=0, keepdims=True)
             return s_acc, lsum_prefix
 
         s0 = jnp.where(t_end >= T_EPS, g_T * t_end, 0.0)
-        jax.lax.fori_loop(0, nchunks, p2_body,
-                          (s0, lsum))
+        jax.lax.fori_loop(0, nchunks, p2_body, (s0, lsum))
 
         # drain outstanding grad writes
         @pl.when(nchunks >= 2)
@@ -396,7 +425,7 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
 def _bwd_call(feat, starts_plus, counts_pad, gtiles, *, n_programs: int,
               interpret: bool):
     """Invoke the backward compositor; returns dfeat with feat's shape."""
-    L_pad = feat.shape[0]
+    nrec = feat.shape[0] * PACK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
@@ -407,20 +436,20 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, *, n_programs: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.VMEM((2, RPC, ROW), jnp.float32),
+            pltpu.VMEM((2, RPC, ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
         _tile_bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((L_pad, FEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
-            flops=80 * L_pad * PIX, bytes_accessed=3 * L_pad * FEAT * 4,
-            transcendentals=4 * L_pad * PIX),
+            flops=80 * nrec * PIX, bytes_accessed=3 * nrec * FEAT * 4,
+            transcendentals=4 * nrec * PIX),
     )(starts_plus, counts_pad, feat, gtiles)
 
 
@@ -432,8 +461,7 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
     mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
     mode="jvp": jax.custom_jvp via the fused tangent kernel (LM J v).
     JAX does not allow both rules on one function, so the LM operators pick
-    the variant per matvec direction (solver/operators.py).
-    """
+    the variant per matvec direction (solver/operators.py)."""
     kw = dict(n_programs=n_programs, interpret=interpret)
     if mode == "vjp":
         @jax.custom_vjp
@@ -447,12 +475,13 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
         def bwd(res, gtiles):
             feat, starts_plus, counts_pad = res
             dfeat = _bwd_call(feat, starts_plus, counts_pad, gtiles, **kw)
-            # rows past the last valid entry are never written by any tile:
-            # scrub uninitialized HBM (which may hold NaNs) with where — a
-            # mask *multiply* would propagate NaN*0=NaN into the gather's
-            # scatter-add and poison real parameter gradients
-            total = starts_plus[ntiles - 1] + counts_pad[ntiles - 1]
-            valid = jnp.arange(dfeat.shape[0], dtype=jnp.int32) < total
+            # rows past the last padded segment are never written by any
+            # tile: scrub uninitialized HBM (which may hold NaNs) with
+            # where — a mask multiply would propagate NaN*0=NaN into the
+            # gather's scatter-add and poison real parameter gradients
+            end_rows = (starts_plus[ntiles - 1] + counts_pad[ntiles - 1]
+                        + PACK - 1) // PACK
+            valid = jnp.arange(feat.shape[0], dtype=jnp.int32) < end_rows
             dfeat = jnp.where(valid[:, None], dfeat, 0.0)
             return dfeat, None, None
 
@@ -474,35 +503,62 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     L = config.dup_capacity
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
+    P = splats.mean2d.shape[0]
 
     sorted_gid, starts, ends, total = duplicate_sort_ranges(
         splats, ntx, nty, L)
     counts = ends - starts
 
-    # pre-gather sorted splat records: one coalesced (L, FEAT) stream; K
-    # zero-opacity pad rows absorb the last chunk's over-read. The gather
-    # is differentiable (its VJP is XLA's scatter-add back to the P axis),
-    # which routes the kernel's per-entry cotangents to the Gaussians.
-    # Entries past ``total`` carry the sentinel tile id, sort past every
-    # tile segment, and are never read — no forward masking needed (the
-    # custom-VJP bwd scrubs their never-written cotangent rows instead).
+    # ---- pad every tile's segment to a PACK multiple and gather the
+    # sorted records into the packed (rows, 128) stream. Pad entries point
+    # at an appended all-zero record row; the kernels also gate them.
+    # With PACK=1 segments are already row-aligned — skip the remap pass.
+    if PACK == 1:
+        poffsets = starts
+        gid2 = sorted_gid
+        L2 = L
+    else:
+        pcounts = ((counts + PACK - 1) // PACK) * PACK
+        poffsets = jnp.cumsum(pcounts) - pcounts
+        L2 = L + ntiles * PACK   # static: worst-case per-tile padding
+        tile_pack = jnp.stack([
+            poffsets.astype(jnp.float32), starts.astype(jnp.float32),
+            counts.astype(jnp.float32),
+            jnp.zeros_like(poffsets, jnp.float32),
+        ], axis=1)                                       # (ntiles, 4)
+        rep = jnp.repeat(tile_pack, pcounts, axis=0, total_repeat_length=L2)
+        iota2 = jnp.arange(L2, dtype=jnp.int32)
+        rank = iota2 - rep[:, 0].astype(jnp.int32)
+        in_seg = rank < rep[:, 2].astype(jnp.int32)
+        total_p = poffsets[-1] + pcounts[-1]
+        in_seg = in_seg & (iota2 < total_p)
+        orig = jnp.clip(rep[:, 1].astype(jnp.int32) + rank, 0, L - 1)
+        gid2 = jnp.where(in_seg, sorted_gid[orig], P)    # P -> zero record
+
+    # The gather is differentiable (its VJP is XLA's scatter-add back to
+    # the P axis), routing the kernel's per-entry cotangents to Gaussians.
     records = jnp.concatenate([
         splats.mean2d,                      # 0:2
         splats.conic,                       # 2:5
         splats.opacity[:, None],            # 5
         splats.color,                       # 6:9
         splats.invdepth[:, None],           # 9
-        jnp.zeros((splats.mean2d.shape[0], FEAT - 10), jnp.float32),
+        jnp.zeros((P, FEAT - 10), jnp.float32),
     ], axis=1)
-    feat = records[sorted_gid]
+    records = jnp.concatenate(
+        [records, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
+    feat = records[gid2]                                  # (L2, 16)
+    # extra K pad records absorb the final chunk over-read
     feat = jnp.concatenate([feat, jnp.zeros((K, FEAT), jnp.float32)], axis=0)
+    feat = feat.reshape((L2 + K) // PACK, ROW)
 
     # pad the tile axis to a GROUP multiple (count 0 => tile renders bg),
     # and stash ntx after the starts so the kernel can derive tile coords
     n_programs = _cdiv(ntiles, GROUP)
     nt_pad = n_programs * GROUP
     starts_plus = jnp.concatenate(
-        [starts, jnp.zeros((nt_pad - ntiles,), jnp.int32),
+        [poffsets.astype(jnp.int32),
+         jnp.zeros((nt_pad - ntiles,), jnp.int32),
          jnp.array([ntx], jnp.int32)])
     counts_pad = jnp.concatenate(
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])

@@ -4,47 +4,40 @@ The TPU analog of the reference rasterizer fork's forward-mode dual-tensor
 path (rogerhh/diff-gaussian-rasterization-jvp, exercised at reference
 tests/test_rasterizer.py:23-33 and driven by gaussians.make_dual +
 LinearSolverFunctions.matvec, solver/solver_functions.py:83-99): one walk
-over the sorted splat stream computes the primal composite AND its
+over the packed sorted splat stream computes the primal composite AND its
 directional derivative, so the LM J·v matvec costs ~2x a forward render
 instead of a separate linearization.
 
-Tangent math (primal notation as in rasterize_pallas._tile_kernel):
+Tangent math (primal notation as in rasterize_pallas):
   pow_dot = -(c0 dx + c1 dy) mx_dot - (c2 dy + c1 dx) my_dot
             - 0.5 dx^2 c0_dot - dx dy c1_dot - 0.5 dy^2 c2_dot
   a_dot   = op_dot exp(pow) + a_raw pow_dot      (clip straight-through,
                                                   contrib mask constant)
   The transmittance tangent is carried as the logarithmic derivative
   r = T_dot / T, so T_before_dot_i = t_before_i (r + prefix(-a_dot/(1-a)))
-  — one extra triangular matmul per chunk.
+  — one extra Hillis-Steele prefix per chunk.
   w_dot_i = ok_i (a_dot_i t_before_i + a_i T_before_dot_i)
   t_final_dot uses the same first-fail freeze row as the primal.
+
+Record packing / segment padding are identical to rasterize_pallas
+(8 records per 128-lane row, PACK-aligned per-tile segments).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslm_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
-from gslm_tpu.ops.projection import TILE
-from gslm_tpu.ops.rasterize_pallas import strict_prefix_sum
-
-# layout constants shared with rasterize_pallas (imported there to avoid a
-# cycle we re-declare the record geometry here)
-PIX = TILE * TILE
-FEAT = 128
-K = 256
-OUT_ROWS = 8
-GROUP = 8
+from gslm_tpu.ops.composite import T_EPS
+from gslm_tpu.ops.rasterize_pallas import (GROUP, K, OUT_ROWS, PACK, PIX,
+                                           ROW, RPC, _sub, _sub_geometry,
+                                           _tile_px, strict_prefix_sum)
 
 
 def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
                      out_ref, odot_ref, fscratch, dscratch, fsem, dsem):
-    ntx = starts_ref[pl.num_programs(0) * GROUP]
     pid = pl.program_id(0)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
@@ -53,15 +46,12 @@ def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
         start = starts_ref[t]
         count = counts_ref[t]
         nchunks = pl.cdiv(count, K)
-
-        txc = ((t % ntx) * TILE).astype(jnp.float32)
-        tyc = ((t // ntx) * TILE).astype(jnp.float32)
-        px = txc + (lin % TILE).astype(jnp.float32)
-        py = tyc + (lin // TILE).astype(jnp.float32)
+        px, py = _tile_px(starts_ref, t, lin)
+        row0 = start // PACK
 
         def dma(buf, hbm, sem, slot, chunk):
             return pltpu.make_async_copy(
-                hbm.at[pl.ds(start + chunk * K, K), :],
+                hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
                 buf.at[slot], sem.at[slot])
 
         @pl.when(nchunks > 0)
@@ -85,63 +75,69 @@ def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
             f = fscratch[slot]
             fd = dscratch[slot]
 
-            dx = f[:, 0:1] - px
-            dy = f[:, 1:2] - py
-            power = (-0.5 * (f[:, 2:3] * dx * dx + f[:, 4:5] * dy * dy)
-                     - f[:, 3:4] * dx * dy)
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-            in_seg = slot_ids < (count - chunk * K)
-            gate = in_seg & (power <= 0.0)
-            expp = jnp.where(gate, jnp.exp(power), 0.0)
-            a_raw = f[:, 5:6] * expp
-            a = jnp.minimum(a_raw, ALPHA_MAX)
-            contrib = a >= ALPHA_MIN
-            a = jnp.where(contrib, a, 0.0)
+            subs = [_sub_geometry(f, k, px, py, chunk * K, count)
+                    for k in range(PACK)]
+            ls = [jnp.log1p(-s["a"]) for s in subs]
+            dlogs = []
+            for k in range(PACK):
+                s = subs[k]
+                dx, dy = s["dx"], s["dy"]
+                pow_dot = (-( _sub(f, k, 2) * dx + _sub(f, k, 3) * dy)
+                           * _sub(fd, k, 0)
+                           - (_sub(f, k, 4) * dy + _sub(f, k, 3) * dx)
+                           * _sub(fd, k, 1)
+                           - 0.5 * dx * dx * _sub(fd, k, 2)
+                           - dx * dy * _sub(fd, k, 3)
+                           - 0.5 * dy * dy * _sub(fd, k, 4))
+                a_dot = jnp.where(
+                    s["contrib"],
+                    _sub(fd, k, 5) * s["expp"] + s["a_raw"] * pow_dot, 0.0)
+                s["a_dot"] = a_dot
+                dlogs.append(-a_dot / (1.0 - s["a"]))
 
-            pow_dot = (-(f[:, 2:3] * dx + f[:, 3:4] * dy) * fd[:, 0:1]
-                       - (f[:, 4:5] * dy + f[:, 3:4] * dx) * fd[:, 1:2]
-                       - 0.5 * dx * dx * fd[:, 2:3]
-                       - dx * dy * fd[:, 3:4]
-                       - 0.5 * dy * dy * fd[:, 4:5])
-            a_dot = jnp.where(contrib,
-                              fd[:, 5:6] * expp + a_raw * pow_dot, 0.0)
+            p_row = ls[0]
+            d_row = dlogs[0]
+            for k in range(1, PACK):
+                p_row = p_row + ls[k]
+                d_row = d_row + dlogs[k]
+            row_pref = strict_prefix_sum(p_row)
+            row_dpref = strict_prefix_sum(d_row)
 
-            l = jnp.log1p(-a)
-            cum = strict_prefix_sum(l)
-            t_before = t_run * jnp.exp(cum)
-            t_after = t_before * (1.0 - a)
+            off = jnp.zeros_like(p_row)
+            doff = jnp.zeros_like(p_row)
+            for k in range(PACK):
+                s = subs[k]
+                a, a_dot = s["a"], s["a_dot"]
+                t_before = t_run * jnp.exp(row_pref + off)
+                t_before_dot = t_before * (r_run + row_dpref + doff)
+                t_after = t_before * (1.0 - a)
+                ok = s["contrib"] & (t_after >= T_EPS) \
+                    & (t_before >= T_EPS)
+                w = jnp.where(ok, a * t_before, 0.0)
+                w_dot = jnp.where(
+                    ok, a_dot * t_before + a * t_before_dot, 0.0)
 
-            # transmittance log-derivative prefix
-            dlog = -a_dot / (1.0 - a)
-            rcum = strict_prefix_sum(dlog)
-            t_before_dot = t_before * (r_run + rcum)
+                ff = (s["contrib"] & (t_after < T_EPS)
+                      & (t_before >= T_EPS)).astype(jnp.float32)
+                frozen = frozen + jnp.sum(ff * t_before, axis=0,
+                                          keepdims=True)
+                frozen_dot = frozen_dot + jnp.sum(ff * t_before_dot,
+                                                  axis=0, keepdims=True)
 
-            ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
-            w = jnp.where(ok, a * t_before, 0.0)
-            w_dot = jnp.where(ok, a_dot * t_before + a * t_before_dot, 0.0)
+                # VPU accumulation (tiny MXU contractions are latency-bound)
+                acc = acc + jnp.concatenate(
+                    [jnp.sum(w * _sub(f, k, 6 + c), axis=0, keepdims=True)
+                     for c in range(4)], axis=0)
+                acc_dot = acc_dot + jnp.concatenate(
+                    [jnp.sum(w_dot * _sub(f, k, 6 + c)
+                             + w * _sub(fd, k, 6 + c), axis=0,
+                             keepdims=True)
+                     for c in range(4)], axis=0)
+                off = off + ls[k]
+                doff = doff + dlogs[k]
 
-            first_fail = contrib & (t_after < T_EPS) & (t_before >= T_EPS)
-            ff = first_fail.astype(jnp.float32)
-            frozen = frozen + jnp.sum(ff * t_before, axis=0, keepdims=True)
-            frozen_dot = frozen_dot + jnp.sum(ff * t_before_dot, axis=0,
-                                              keepdims=True)
-
-            acc = acc + jax.lax.dot_general(
-                w, f[:, 6:10], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).T
-            acc_dot = acc_dot + (
-                jax.lax.dot_general(w_dot, f[:, 6:10],
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-                + jax.lax.dot_general(w, fd[:, 6:10],
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)).T
-
-            t_run = t_run * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
-            r_run = r_run + jnp.sum(dlog, axis=0, keepdims=True)
+            t_run = t_run * jnp.exp(jnp.sum(p_row, axis=0, keepdims=True))
+            r_run = r_run + jnp.sum(d_row, axis=0, keepdims=True)
             return (t_run, r_run, frozen, frozen_dot, acc, acc_dot)
 
         zeros1 = jnp.zeros((1, PIX), jnp.float32)
@@ -168,7 +164,7 @@ def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
 def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
               interpret: bool):
     nt_pad = n_programs * GROUP
-    L_pad = feat.shape[0]
+    nrec = feat.shape[0] * PACK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
@@ -183,8 +179,8 @@ def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
-            pltpu.VMEM((2, K, FEAT), jnp.float32),
+            pltpu.VMEM((2, RPC, ROW), jnp.float32),
+            pltpu.VMEM((2, RPC, ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ])
@@ -197,8 +193,8 @@ def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=80 * L_pad * PIX, bytes_accessed=2 * L_pad * FEAT * 4,
-            transcendentals=3 * L_pad * PIX),
+            flops=80 * nrec * PIX, bytes_accessed=2 * nrec * 16 * 4,
+            transcendentals=3 * nrec * PIX),
     )(starts_plus, counts_pad, feat, fdot)
 
 
