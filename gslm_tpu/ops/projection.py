@@ -55,11 +55,17 @@ class Splats2D:
 
 
 def compute_cov3d(scaling, rotation, scaling_modifier=1.0):
-    """Σ = (R S)(R S)ᵀ from activated scales and raw quaternions; (P, 3, 3)."""
+    """Σ = (R S)(R S)ᵀ from activated scales and raw quaternions; (P, 3, 3).
+
+    precision=HIGHEST: TPU matmuls default to bf16 passes, and a ~1e-2
+    relative error in Σ moves conics enough to shift rendered pixels by
+    ~3e-3 — the projection math must stay full f32 (CUDA computes it in
+    f32 scalars)."""
     R = quat_to_rotmat(quat_normalize(rotation))
     S = scaling * scaling_modifier  # (P, 3)
     L = R * S[..., None, :]
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def preprocess(params: GaussianParams, camera: Camera, *,

@@ -505,7 +505,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     ntiles = ntx * nty
     P = splats.mean2d.shape[0]
 
-    sorted_gid, starts, ends, total = duplicate_sort_ranges(
+    order, sorted_gid, starts, ends, total = duplicate_sort_ranges(
         splats, ntx, nty, L)
     counts = ends - starts
 
@@ -535,8 +535,11 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         orig = jnp.clip(rep[:, 1].astype(jnp.int32) + rank, 0, L - 1)
         gid2 = jnp.where(in_seg, sorted_gid[orig], P)    # P -> zero record
 
-    # The gather is differentiable (its VJP is XLA's scatter-add back to
-    # the P axis), routing the kernel's per-entry cotangents to Gaussians.
+    # The record table is permuted into depth order at P level (cheap) so
+    # gid2 (= rank into the depth-sorted tables) indexes it directly; the
+    # big L-sized gather stays single. It is differentiable end-to-end:
+    # gather VJPs are XLA scatter-adds, routing the kernel's per-entry
+    # cotangents back to Gaussians.
     records = jnp.concatenate([
         splats.mean2d,                      # 0:2
         splats.conic,                       # 2:5
@@ -544,7 +547,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         splats.color,                       # 6:9
         splats.invdepth[:, None],           # 9
         jnp.zeros((P, FEAT - 10), jnp.float32),
-    ], axis=1)
+    ], axis=1)[order]
     records = jnp.concatenate(
         [records, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
     feat = records[gid2]                                  # (L2, 16)
