@@ -23,13 +23,16 @@ stage 4 with one Pallas program per group of 16x16 tiles:
   the first failing record are zero and the background blends with the
   transmittance frozen at the failure point.
 
-The backward walks the same stream in REVERSE with zero saved state:
-pass 1 accumulates the total log-transmittance; pass 2 recovers each
-chunk's starting transmittance by subtracting chunk log-sums from the
-carried prefix (always <= 0: no overflow) and carries the suffix
-accumulator S_i = sum_{j>i} ok_j dw_j w_j + g_T t_final. Per-record
-gradients DMA out and scatter-add to Gaussians through the record
-gather's own VJP.
+The backward walks the stream in REVERSE, a single pass: the forward
+saves its exit-point log-transmittance sum and exit chunk index in the
+spare output rows (the CUDA backward likewise reuses final_T/n_contrib
+saved by its forward), so no re-walk is needed; each chunk's starting
+transmittance is recovered by subtracting chunk log-sums from the carried
+prefix (always <= 0: no overflow) and the suffix accumulator
+S_i = sum_{j>i} ok_j dw_j w_j + g_T t_final carries across chunks.
+Chunks past the forward's early exit have exactly-zero gradients and are
+zero-filled without compute. Per-record gradients DMA out and scatter-add
+to Gaussians through a lane-narrowed custom VJP of the record gather.
 
 Outputs per tile are (8, 256) rows [r, g, b, invdepth, t_final, pad...];
 background blending and canvas assembly happen outside in XLA. On
@@ -122,6 +125,30 @@ def _sub_geometry(f, k, px, py, rank0, count_rem):
     return dict(dx=dx, dy=dy, expp=expp, a_raw=a_raw, a=a, contrib=contrib)
 
 
+@jax.custom_vjp
+def _gather_records(records, gid):
+    """records[gid] with a lane-narrowed VJP: only fields 0:10 carry data,
+    so the backward scatter-add moves 10 lanes instead of FEAT (the XLA
+    TPU scatter cost scales with row width — measured 42 -> ~30 ms at
+    L=2M, FEAT=128)."""
+    return records[gid]
+
+
+def _gather_records_fwd(records, gid):
+    return records[gid], (gid, records.shape[0])
+
+
+def _gather_records_bwd(res, dfeat):
+    gid, nrec = res
+    narrow = jnp.zeros((nrec, 10), jnp.float32).at[gid].add(dfeat[:, :10])
+    drec = jnp.concatenate(
+        [narrow, jnp.zeros((nrec, FEAT - 10), jnp.float32)], axis=1)
+    return drec, None
+
+
+_gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
+
+
 def _tile_px(starts_ref, t, lin):
     ntx = starts_ref[pl.num_programs(0) * GROUP]
     txc = ((t % ntx) * TILE).astype(jnp.float32)
@@ -156,7 +183,7 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
             dma(0, 0).start()
 
         def body(carry):
-            chunk, t_run, frozen, acc = carry
+            chunk, t_run, lsum_run, frozen, acc = carry
             slot = chunk % 2
 
             @pl.when(chunk + 1 < nchunks)
@@ -195,19 +222,20 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
                      for c in range(4)], axis=0)           # (4, 256)
                 off = off + ls[k]
 
-            t_run = t_run * jnp.exp(jnp.sum(p_row, axis=0, keepdims=True))
-            return chunk + 1, t_run, new_frozen, new_acc
+            lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
+            t_run = t_run * jnp.exp(lsum_c)
+            return chunk + 1, t_run, lsum_run + lsum_c, new_frozen, new_acc
 
         def cond(carry):
-            chunk, t_run, frozen, _ = carry
+            chunk, t_run, _, frozen, _ = carry
             live = jnp.any((frozen <= 0.0) & (t_run >= T_EPS))
             return (chunk < nchunks) & live
 
         t_run0 = jnp.ones((1, PIX), jnp.float32)
         zero1 = jnp.zeros((1, PIX), jnp.float32)
         acc0 = jnp.zeros((4, PIX), jnp.float32)
-        last, t_run, frozen, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_run0, zero1, acc0))
+        last, t_run, lsum_run, frozen, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t_run0, zero1, zero1, acc0))
 
         # drain the prefetched next-chunk DMA on early exit
         @pl.when((last > 0) & (last < nchunks))
@@ -217,7 +245,14 @@ def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
         t_final = jnp.where(frozen > 0.0, frozen, t_run)
         out_ref[g, 0:4, :] = acc
         out_ref[g, 4:5, :] = t_final
-        out_ref[g, 5:8, :] = jnp.zeros((3, PIX), jnp.float32)
+        # rows 5-6 feed the backward (killing its re-walk pass 1): the
+        # exact log-transmittance sum at the exit point (carried additively
+        # so the backward's recovery chain sees the same values pass 1
+        # produced) and the exit chunk index. Downstream assembly slices
+        # rows 0-4 only, so no cotangent leaks.
+        out_ref[g, 5:6, :] = lsum_run
+        out_ref[g, 6:7, :] = jnp.full((1, PIX), last.astype(jnp.float32))
+        out_ref[g, 7:8, :] = jnp.zeros((1, PIX), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, GROUP, one_tile, 0)
@@ -253,8 +288,8 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
 # ---------------------------------------------------------------------------
 # backward kernel (see module docstring for the math)
 # ---------------------------------------------------------------------------
-def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
-                     rscratch, gscratch, rsem, wsem):
+def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, tiles_ref,
+                     dfeat_hbm, rscratch, gscratch, rsem, wsem):
     pid = pl.program_id(0)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
@@ -283,38 +318,39 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
                 dfeat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
                 wsem.at[slot])
 
-        # ---- pass 1 (forward): total log-transmittance ------------------
-        @pl.when(nchunks > 0)
-        def _():
-            rdma(0, 0).start()
-
-        def p1_body(chunk, lsum):
-            slot = chunk % 2
-
-            @pl.when(chunk + 1 < nchunks)
-            def _():
-                rdma((chunk + 1) % 2, chunk + 1).start()
-
-            rdma(slot, chunk).wait()
-            f = rscratch[slot]
-            for k in range(PACK):
-                s = _sub_geometry(f, k, px, py, chunk * K, count)
-                lsum = lsum + jnp.sum(jnp.log1p(-s["a"]), axis=0,
-                                      keepdims=True)
-            return lsum
-
-        lsum = jax.lax.fori_loop(0, nchunks, p1_body,
-                                 jnp.zeros((1, PIX), jnp.float32))
+        # ---- exit state saved by the forward (no re-walk pass needed):
+        # rows 5/6 of the primal output hold the exact log-transmittance
+        # sum at the exit point and the exit chunk index. Records in chunks
+        # past the forward's early exit have exactly-zero gradients
+        # (weights are zero and t_final is frozen before them), so the
+        # reverse walk covers [0, n_eff) and skipped chunks zero-fill.
+        lsum = tiles_ref[g, 5:6, :]
+        n_eff = jnp.max(tiles_ref[g, 6:7, :]).astype(jnp.int32)
         t_end = jnp.exp(lsum)
 
-        # ---- pass 2 (reverse): suffix accumulator + grads ---------------
-        @pl.when(nchunks > 0)
+        @pl.when(n_eff < nchunks)
         def _():
-            rdma((nchunks - 1) % 2, nchunks - 1).start()
+            gscratch[0] = jnp.zeros((RPC, ROW), jnp.float32)
+
+            def zero_fill(c, _):
+                cp = pltpu.make_async_copy(
+                    gscratch.at[0],
+                    dfeat_hbm.at[pl.ds(row0 + c * RPC, RPC), :],
+                    wsem.at[0])
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(n_eff, nchunks, zero_fill, 0)
+
+        # ---- reverse pass: suffix accumulator + grads --------------------
+        @pl.when(n_eff > 0)
+        def _():
+            rdma((n_eff - 1) % 2, n_eff - 1).start()
 
         def p2_body(i, carry):
             s_acc, lsum_upto = carry
-            chunk = nchunks - 1 - i
+            chunk = n_eff - 1 - i
             slot = chunk % 2
 
             @pl.when(chunk - 1 >= 0)
@@ -407,30 +443,36 @@ def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, dfeat_hbm,
             return s_acc, lsum_prefix
 
         s0 = jnp.where(t_end >= T_EPS, g_T * t_end, 0.0)
-        jax.lax.fori_loop(0, nchunks, p2_body, (s0, lsum))
+        jax.lax.fori_loop(0, n_eff, p2_body, (s0, lsum))
 
         # drain outstanding grad writes
-        @pl.when(nchunks >= 2)
+        @pl.when(n_eff >= 2)
         def _():
-            wdma(nchunks % 2, 1).wait()
+            wdma(n_eff % 2, 1).wait()
 
-        @pl.when(nchunks >= 1)
+        @pl.when(n_eff >= 1)
         def _():
-            wdma((nchunks - 1) % 2, 0).wait()
+            wdma((n_eff - 1) % 2, 0).wait()
         return 0
 
     jax.lax.fori_loop(0, GROUP, one_tile, 0)
 
 
-def _bwd_call(feat, starts_plus, counts_pad, gtiles, *, n_programs: int,
-              interpret: bool):
-    """Invoke the backward compositor; returns dfeat with feat's shape."""
+def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
+              n_programs: int, interpret: bool):
+    """Invoke the backward compositor; returns dfeat with feat's shape.
+
+    ``tiles`` is the saved forward output — its exit-state rows replace
+    the old total-transmittance re-walk (pass 1), halving backward DMA
+    and alpha recomputation."""
     nrec = feat.shape[0] * PACK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((GROUP, OUT_ROWS, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, OUT_ROWS, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -448,9 +490,9 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, *, n_programs: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
-            flops=80 * nrec * PIX, bytes_accessed=3 * nrec * FEAT * 4,
-            transcendentals=4 * nrec * PIX),
-    )(starts_plus, counts_pad, feat, gtiles)
+            flops=50 * nrec * PIX, bytes_accessed=2 * nrec * FEAT * 4,
+            transcendentals=2 * nrec * PIX),
+    )(starts_plus, counts_pad, feat, gtiles, tiles)
 
 
 @functools.lru_cache(maxsize=None)
@@ -469,12 +511,13 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
             return _fwd_call(feat, starts_plus, counts_pad, **kw)
 
         def fwd(feat, starts_plus, counts_pad):
-            return comp(feat, starts_plus, counts_pad), \
-                (feat, starts_plus, counts_pad)
+            out = comp(feat, starts_plus, counts_pad)
+            return out, (feat, starts_plus, counts_pad, out)
 
         def bwd(res, gtiles):
-            feat, starts_plus, counts_pad = res
-            dfeat = _bwd_call(feat, starts_plus, counts_pad, gtiles, **kw)
+            feat, starts_plus, counts_pad, tiles = res
+            dfeat = _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles,
+                              **kw)
             # rows past the last padded segment are never written by any
             # tile: scrub uninitialized HBM (which may hold NaNs) with
             # where — a mask multiply would propagate NaN*0=NaN into the
@@ -550,7 +593,12 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     ], axis=1)[order]
     records = jnp.concatenate(
         [records, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
-    feat = records[gid2]                                  # (L2, 16)
+    # the custom_vjp gather has no JVP rule — forward mode takes the plain
+    # gather (its JVP is another gather, already cheap)
+    if mode == "jvp":
+        feat = records[gid2]                              # (L2, FEAT)
+    else:
+        feat = _gather_records(records, gid2)
     # extra K pad records absorb the final chunk over-read
     feat = jnp.concatenate([feat, jnp.zeros((K, FEAT), jnp.float32)], axis=0)
     feat = feat.reshape((L2 + K) // PACK, ROW)
