@@ -52,7 +52,6 @@ def main():
     from gslm_tpu.models.cameras import camera_from_meta
     from gslm_tpu.ops.rasterize_tiled import RasterConfig
     from gslm_tpu.renderer import render
-    from gslm_tpu.solver.operators import LMOperators
     from gslm_tpu.solver.residuals import batch_residuals
     from gslm_tpu.utils.synthetic import (make_camera, random_gaussians,
                                           ring_camera_batch)
@@ -100,7 +99,7 @@ def main():
     lm_cams = ring_camera_batch(lm_views, lm_hw, lm_hw)
     lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
                           max_per_tile=cfg.max_per_tile,
-                          tile_chunk=cfg.tile_chunk)
+                          tile_chunk=cfg.tile_chunk, impl=cfg.impl)
 
     from gslm_tpu.renderer import resolve_impl
 
@@ -116,14 +115,18 @@ def main():
             return batch_residuals(p, lm_cams, bg, config=jcfg,
                                    disable_ssim=True, alive=aux.alive)
 
-    ops = LMOperators(residual_fn, params, residual_fn_jvp=residual_fn_jvp)
+    # J.v / J^T.u with the linearization traced INSIDE the jit: jitting a
+    # pre-built jax.vjp closure would embed the saved residuals/kernels in
+    # the program (and is how CG consumes the operators anyway — the whole
+    # solve is one jitted while_loop; see solver/cg.py).
+    fn_jvp = residual_fn_jvp or residual_fn
     v = jax.tree.map(jnp.ones_like, params)
-    matvec = jax.jit(ops.matvec)
-    matvec_T = jax.jit(ops.matvec_T)
+    matvec = jax.jit(lambda p, vv: jax.jvp(fn_jvp, (p,), (vv,))[1])
+    matvec_T = jax.jit(lambda p, uu: jax.vjp(residual_fn, p)[1](uu)[0])
 
-    t_mv = _time_calls(matvec, (v,), max(iters // 2, 3))
-    u = matvec(v)
-    t_mvT = _time_calls(matvec_T, (u,), max(iters // 2, 3))
+    t_mv = _time_calls(matvec, (params, v), max(iters // 2, 3))
+    u = matvec(params, v)
+    t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
 
     result = {
         "metric": "render_1080p_rays_per_s",

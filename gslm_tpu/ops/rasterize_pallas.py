@@ -150,9 +150,15 @@ _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
 def _tile_px(starts_ref, t, lin):
+    """Pixel coords for tile t. Tile rows wrap modulo ``view_rows`` (the
+    scalar stashed after ntx): a fused multi-view batch stacks per-view
+    tile grids vertically with view-LOCAL splat coordinates, keeping the
+    alpha math bitwise identical to single-view renders (a global-y shift
+    would cost ~ulp(B*H) per pixel of rounding)."""
     ntx = starts_ref[pl.num_programs(0) * GROUP]
+    view_rows = starts_ref[pl.num_programs(0) * GROUP + 1]
     txc = ((t % ntx) * TILE).astype(jnp.float32)
-    tyc = ((t // ntx) * TILE).astype(jnp.float32)
+    tyc = (((t // ntx) % view_rows) * TILE).astype(jnp.float32)
     px = txc + (lin % TILE).astype(jnp.float32)
     py = tyc + (lin // TILE).astype(jnp.float32)
     return px, py
@@ -538,14 +544,20 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "config", "interpret",
-                                    "mode"))
+                                    "mode", "view_rows"))
 def rasterize_pallas(splats: Splats2D, height: int, width: int,
                      bg: jnp.ndarray, config: RasterConfig,
-                     interpret: bool = False, mode: str = "vjp") -> dict:
-    """Same contract as rasterize_tiled (render/invdepth/diagnostics)."""
+                     interpret: bool = False, mode: str = "vjp",
+                     view_rows: int | None = None) -> dict:
+    """Same contract as rasterize_tiled (render/invdepth/diagnostics).
+
+    ``view_rows``: tile rows per view for fused multi-view batches (splat
+    coordinates are view-local; tile rows wrap modulo view_rows)."""
     L = config.dup_capacity
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
+    if view_rows is None:
+        view_rows = nty
     P = splats.mean2d.shape[0]
 
     order, sorted_gid, starts, ends, total = duplicate_sort_ranges(
@@ -610,7 +622,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     starts_plus = jnp.concatenate(
         [poffsets.astype(jnp.int32),
          jnp.zeros((nt_pad - ntiles,), jnp.int32),
-         jnp.array([ntx], jnp.int32)])
+         jnp.array([ntx, view_rows], jnp.int32)])
     counts_pad = jnp.concatenate(
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 

@@ -177,19 +177,25 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     return order, rank, starts, ends, total, ccols_l
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "config"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "config",
+                                             "view_rows"))
 def rasterize_tiled(splats: Splats2D, height: int, width: int,
-                    bg: jnp.ndarray, config: RasterConfig) -> dict:
+                    bg: jnp.ndarray, config: RasterConfig,
+                    view_rows: int | None = None) -> dict:
     """Composite splats over a (height, width) canvas.
 
     Returns dict(render (3,H,W), invdepth (1,H,W), n_duplicates, overflow,
     max_tile_load); the last three are diagnostics (int32 scalars).
+    ``view_rows``: tile rows per view for fused multi-view batches (splat
+    coordinates are view-local; tile rows wrap modulo view_rows).
     """
     L = config.dup_capacity
     S = config.max_per_tile
     G = config.tile_chunk
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
+    if view_rows is None:
+        view_rows = nty
 
     order, rank, starts, ends, total = duplicate_sort_ranges(splats, ntx, nty, L)
     tile_loads = ends - starts
@@ -220,7 +226,7 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
         valid = slot_iota < n
 
         txc = (t % ntx).astype(jnp.float32) * TILE
-        tyc = (t // ntx).astype(jnp.float32) * TILE
+        tyc = ((t // ntx) % view_rows).astype(jnp.float32) * TILE
         px = txc + lane_px                            # (256,)
         py = tyc + lane_py
 

@@ -112,30 +112,114 @@ def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
                  alive: jnp.ndarray | None = None,
                  mean2d_offset: jnp.ndarray | None = None,
                  impl: str | None = None) -> RenderOutput:
-    """Render a padded camera batch: vmap of ``render`` over the view axis.
+    """Render a padded camera batch as ONE fused raster problem.
 
-    ``mean2d_offset`` is deliberately **unbatched** ((P, 2)): its cotangent
-    under the vmap sums over views, which is exactly the accumulated
+    The TPU analog of the reference's fused BatchGaussianRasterizer launch
+    (batch_render.py:8-135): per-Gaussian preprocess is vmapped over views
+    (pure elementwise), then the B per-view tile grids are stacked
+    vertically into a single virtual canvas — view v's splats get their
+    pixel-y and tile-row coordinates offset by v*H_tiles, making tile ids
+    view-disjoint, so ONE duplicate/sort/ranges pass and ONE compositor
+    launch cover the whole batch. (A naive ``vmap(render)`` instead puts
+    ``jnp.repeat``/sort under vmap, which XLA lowers to per-row gathers —
+    measured 4x slower at 2x540p.) Within each tile the global depth-rank
+    order restricted to that view's Gaussians is exactly the per-view
+    depth order, so compositing semantics are unchanged.
+
+    ``mean2d_offset`` is deliberately **unbatched** ((P, 2)): it broadcasts
+    over views, so its cotangent sums over views — exactly the accumulated
     viewspace-gradient statistic densification needs (reference
     batch_render.py:120-133 + gaussian_model.py:561-563).
 
     Output fields gain a leading B axis; ``radii`` is (B, P) — reduce with
     max for the reference's ``max_radii`` / any for ``visibility_filter``.
     """
-    fn = functools.partial(render, config=config,
-                           active_sh_degree=active_sh_degree,
-                           scaling_modifier=scaling_modifier,
-                           use_trained_exp=use_trained_exp, impl=impl)
+    from gslm_tpu.ops.projection import TILE, Splats2D
+    from gslm_tpu.ops.rasterize_tiled import _cdiv
 
-    def one_view(camera):
-        return fn(params, camera, bg, alive=alive, mean2d_offset=mean2d_offset)
+    if impl is None:
+        impl = config.impl
+    if active_sh_degree is None:
+        active_sh_degree = params.sh_degree
 
     batched_cam = Camera(
         world_view=cameras.world_view, full_proj=cameras.full_proj,
         campos=cameras.campos, tanfovx=cameras.tanfovx,
         tanfovy=cameras.tanfovy, exposure_idx=cameras.exposure_idx,
         height=cameras.height, width=cameras.width)
-    return jax.vmap(one_view)(batched_cam)
+
+    if resolve_impl(impl) == "ref":
+        # dense golden path: per-view loop is fine (it has no sort stage)
+        fn = functools.partial(render, config=config,
+                               active_sh_degree=active_sh_degree,
+                               scaling_modifier=scaling_modifier,
+                               use_trained_exp=use_trained_exp, impl=impl)
+
+        def one_view(camera):
+            return fn(params, camera, bg, alive=alive,
+                      mean2d_offset=mean2d_offset)
+
+        return jax.vmap(one_view)(batched_cam)
+
+    H, W = cameras.height, cameras.width
+    B = cameras.world_view.shape[0]
+    P = params.xyz.shape[0]
+    nty = _cdiv(H, TILE)
+
+    def pre_view(camera):
+        return preprocess(params, camera, active_sh_degree=active_sh_degree,
+                          antialiasing=config.antialiasing,
+                          scaling_modifier=scaling_modifier, alive=alive,
+                          mean2d_offset=mean2d_offset)
+
+    sv = jax.vmap(pre_view)(batched_cam)            # (B, P, ...) splats
+
+    # stack the B view canvases vertically: only TILE-row rects shift (the
+    # compositors wrap pixel rows modulo view_rows, so splat coordinates
+    # stay view-local and the alpha math is bitwise identical to
+    # single-view renders)
+    voff = jnp.arange(B, dtype=jnp.int32)[:, None]
+    rect_min = jnp.stack([sv.rect_min[..., 0],
+                          sv.rect_min[..., 1] + voff * nty], axis=-1)
+    rect_max = jnp.stack([sv.rect_max[..., 0],
+                          sv.rect_max[..., 1] + voff * nty], axis=-1)
+
+    def flat(x):
+        return x.reshape((B * P,) + x.shape[2:])
+
+    splats = Splats2D(
+        mean2d=flat(sv.mean2d), conic=flat(sv.conic), color=flat(sv.color),
+        opacity=flat(sv.opacity), depth=flat(sv.depth),
+        invdepth=flat(sv.invdepth), radius=flat(sv.radius),
+        rect_min=flat(rect_min), rect_max=flat(rect_max),
+        tile_count=flat(sv.tile_count), visible=flat(sv.visible))
+
+    stacked_h = B * nty * TILE
+    if resolve_impl(impl) in ("pallas", "pallas_jvp"):
+        from gslm_tpu.ops.rasterize_pallas import rasterize_pallas
+        out = rasterize_pallas(splats, stacked_h, W, bg, config,
+                               interpret=jax.default_backend() != "tpu",
+                               mode="jvp" if impl == "pallas_jvp" else "vjp",
+                               view_rows=nty)
+    else:
+        out = rasterize_tiled(splats, stacked_h, W, bg, config,
+                              view_rows=nty)
+
+    canvas = out["render"].reshape(3, B, nty * TILE, -1)[:, :, :H, :W]
+    image = jnp.moveaxis(canvas, 1, 0)              # (B, 3, H, W)
+    invd = jnp.moveaxis(
+        out["invdepth"].reshape(1, B, nty * TILE, -1)[:, :, :H, :W], 1, 0)
+    if use_trained_exp:
+        image = jax.vmap(apply_exposure)(
+            image, params.exposure[cameras.exposure_idx])
+    image = jnp.clip(image, 0.0, 1.0)
+
+    return RenderOutput(
+        render=image, invdepth=invd, radii=sv.radius,
+        visibility=sv.radius > 0,
+        n_duplicates=jnp.asarray(out["n_duplicates"], jnp.int32),
+        overflow=jnp.asarray(out["overflow"], jnp.int32),
+        max_tile_load=jnp.asarray(out["max_tile_load"], jnp.int32))
 
 
 # scaling_modifier stays dynamic (traced) so the viewer's slider doesn't
