@@ -66,7 +66,7 @@ PACK = int(_os.environ.get("GSLM_RASTER_PACK", "1"))
 assert PACK in (1, 2, 4, 8)
 FEAT = 128 // PACK         # f32 fields per record slot (10 used)
 ROW = PACK * FEAT          # 128
-K = 256                    # records per chunk
+K = 128                    # records per chunk (finer gating: avg tile load ~200)
 RPC = K // PACK            # rows per chunk
 OUT_ROWS = 8               # r, g, b, invd, t_final, 3x pad
 GROUP = 8                  # tiles per program (amortizes grid overhead)
