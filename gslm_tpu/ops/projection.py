@@ -55,17 +55,34 @@ class Splats2D:
 
 
 def compute_cov3d(scaling, rotation, scaling_modifier=1.0):
-    """Σ = (R S)(R S)ᵀ from activated scales and raw quaternions; (P, 3, 3).
+    """Upper-tri components of Σ = (R S)(R S)ᵀ as six (P,) arrays
+    (xx, xy, xz, yy, yz, zz).
 
-    precision=HIGHEST: TPU matmuls default to bf16 passes, and a ~1e-2
-    relative error in Σ moves conics enough to shift rendered pixels by
-    ~3e-3 — the projection math must stay full f32 (CUDA computes it in
-    f32 scalars)."""
-    R = quat_to_rotmat(quat_normalize(rotation))
-    S = scaling * scaling_modifier  # (P, 3)
-    L = R * S[..., None, :]
-    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
-                      precision=jax.lax.Precision.HIGHEST)
+    Fully elementwise f32 on purpose: a batched (P, 3, 3) matmul is a
+    pathological TPU layout (3 of 128 lanes used; measured 5 ms at P=131k
+    even at Precision.HIGHEST vs <0.5 ms for the unrolled component math,
+    which is also exact f32 — no bf16 matmul passes at all). Same math as
+    the CUDA computeCov3D scalar kernel."""
+    q = quat_normalize(rotation)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s = scaling * scaling_modifier
+    v0, v1, v2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    return dict(
+        xx=r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2,
+        xy=r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2,
+        xz=r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2,
+        yy=r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2,
+        yz=r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2,
+        zz=r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2)
 
 
 def preprocess(params: GaussianParams, camera: Camera, *,
@@ -135,9 +152,9 @@ def preprocess(params: GaussianParams, camera: Camera, *,
 
     # cov2d = T Σ Tᵀ with Σ symmetric: first U = T Σ (2x3), then U Tᵀ.
     def sig_row(v):
-        return [cov3d[:, 0, 0] * v[0] + cov3d[:, 0, 1] * v[1] + cov3d[:, 0, 2] * v[2],
-                cov3d[:, 0, 1] * v[0] + cov3d[:, 1, 1] * v[1] + cov3d[:, 1, 2] * v[2],
-                cov3d[:, 0, 2] * v[0] + cov3d[:, 1, 2] * v[1] + cov3d[:, 2, 2] * v[2]]
+        return [cov3d["xx"] * v[0] + cov3d["xy"] * v[1] + cov3d["xz"] * v[2],
+                cov3d["xy"] * v[0] + cov3d["yy"] * v[1] + cov3d["yz"] * v[2],
+                cov3d["xz"] * v[0] + cov3d["yz"] * v[1] + cov3d["zz"] * v[2]]
 
     U0 = sig_row(T0)
     U1 = sig_row(T1)
@@ -161,22 +178,42 @@ def preprocess(params: GaussianParams, camera: Camera, *,
     opacity = jax.nn.sigmoid(params.opacity[:, 0]) * conv_scale
 
     # --- screen radius & tile rect ---
+    # ``radius`` keeps the CUDA semantics (ceil(3 sqrt(lambda_max)), used
+    # for visibility_filter / max_radii2D / densification pruning), but the
+    # tile rect is the *opacity-aware per-axis AABB* of the contributing
+    # region: the compositor gates contributions at alpha >= 1/255
+    # (composite.py ALPHA_MIN, matching the CUDA renderCUDA skip), so any
+    # tile where alpha = opa*exp(power) stays below 1/255 everywhere is
+    # dead weight. alpha >= amin <=> d' Sigma^-1 d <= s2 := 2 ln(255 opa),
+    # whose AABB half-extents are sqrt(s2 * Sigma_xx/yy) = sqrt(s2 * c00d/
+    # c11d). This is exact (tighter than the CUDA 3-sigma *square*, which
+    # both truncates opaque splats early and pads transparent ones) and
+    # cuts the (gaussian, tile) record stream ~2x at typical opacities —
+    # every downstream stage (sort, gather, compositor, backward) scales
+    # with that stream.
     mid = 0.5 * (c00d + c11d)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
+    s2 = 2.0 * jnp.log(jnp.maximum(opacity * 255.0, 1e-12))
+    opa_vis = s2 > 0.0
+    s2 = jnp.maximum(s2, 0.0)
+    margin = 0.01                     # conservative float-rounding pad (px)
+    rx = jnp.sqrt(s2 * jnp.maximum(c00d, 0.0)) + margin
+    ry = jnp.sqrt(s2 * jnp.maximum(c11d, 0.0)) + margin
+
     ntx = -(-W // TILE)
     nty = -(-H // TILE)
     px, py = mean2d[:, 0], mean2d[:, 1]
-    tx0 = jnp.clip((px - radius_f).astype(jnp.int32) // TILE, 0, ntx)
-    ty0 = jnp.clip((py - radius_f).astype(jnp.int32) // TILE, 0, nty)
-    tx1 = jnp.clip(((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, ntx)
-    ty1 = jnp.clip(((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, nty)
+    tx0 = jnp.clip((px - rx).astype(jnp.int32) // TILE, 0, ntx)
+    ty0 = jnp.clip((py - ry).astype(jnp.int32) // TILE, 0, nty)
+    tx1 = jnp.clip(((px + rx + TILE - 1) / TILE).astype(jnp.int32), 0, ntx)
+    ty1 = jnp.clip(((py + ry + TILE - 1) / TILE).astype(jnp.int32), 0, nty)
     # CUDA getRect truncates toward zero after the divide; for in-range
     # values the clamp makes floor-divide equivalent.
     tile_count = jnp.maximum(tx1 - tx0, 0) * jnp.maximum(ty1 - ty0, 0)
 
-    visible = in_front & det_ok & (radius_f > 0) & (tile_count > 0)
+    visible = in_front & det_ok & opa_vis & (radius_f > 0) & (tile_count > 0)
     if alive is not None:
         visible = visible & alive
     tile_count = jnp.where(visible, tile_count, 0)

@@ -106,45 +106,87 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     """
     ntiles = ntx * nty
     P = splats.mean2d.shape[0]
-    assert L < (1 << 24), "dup_capacity must stay f32-exact (< 2^24)"
+    assert ntx <= 0xFFFF and nty <= 0xFFFF, "tile coords must fit 16 bits"
     B = max((P - 1).bit_length(), 1)
     nc = 0 if carry_cols is None else carry_cols.shape[0]
 
     # ---- 1. depth pre-sort at P level (stable; invisible last) ----------
+    # Rect corners ride as two packed int32 payloads ((x0<<16|x1),
+    # (y0<<16|y1)): bitonic sort cost scales with payload width, and tile
+    # coordinates always fit 16 bits.
     depth_key = jnp.where(splats.visible, splats.depth, jnp.inf)
+    px_pack = (splats.rect_min[:, 0] << 16) | splats.rect_max[:, 0]
+    py_pack = (splats.rect_min[:, 1] << 16) | splats.rect_max[:, 1]
     sorted_p = jax.lax.sort(
         (depth_key, jnp.arange(P, dtype=jnp.int32), splats.tile_count,
-         splats.rect_min[:, 0], splats.rect_min[:, 1],
-         splats.rect_max[:, 0], splats.rect_max[:, 1],
+         px_pack, py_pack,
          *(carry_cols[i] for i in range(nc))),
         num_keys=1, is_stable=True)
-    _, order, counts, x0, y0, x1, y1 = sorted_p[:7]
-    ccols_p = sorted_p[7:]
+    _, order, counts, pxs, pys = sorted_p[:5]
+    ccols_p = sorted_p[5:]
+    x0, x1 = pxs >> 16, pxs & 0xFFFF
+    y0, y1 = pys >> 16, pys & 0xFFFF
 
     offsets = jnp.cumsum(counts) - counts            # exclusive
     total = offsets[-1] + counts[-1]
 
     # ---- 2. duplicate + keys-first sort ----------------------------------
-    # Per-entry fields ride one (P, 4+NC) jnp.repeat (f32 exact: < 2^24).
-    packed = jnp.stack([
-        offsets.astype(jnp.float32),
-        (y0 * ntx + x0).astype(jnp.float32),         # tile of rect corner
-        jnp.maximum(x1 - x0, 1).astype(jnp.float32),
-        jnp.arange(P, dtype=jnp.float32),            # rank = depth position
-        *ccols_p,
-    ], axis=1)
-    rep = jnp.repeat(packed, counts, axis=0, total_repeat_length=L)
+    # Per-entry integer control fields (segment offset, rect width, corner
+    # tile, depth rank) are reconstructed by a *delta-scatter + cumsum*: for
+    # any per-Gaussian value v, scatter v_g - v_{g-1} at offset_g and cumsum
+    # — entry i then reads the value of its owning Gaussian (offsets shared
+    # with zero-count Gaussians telescope away). This replaces the old
+    # jnp.repeat(packed, counts) whose lowering ends in an L-sized row
+    # gather (~8 ms at L=2M on v5e; the delta scatter is P-sized and the
+    # int32 cumsums are bandwidth-cheap). int32 exactness also lifts the
+    # old f32 dup_capacity < 2^24 cap. Fields pack LSB-first into as few
+    # int32 streams as their static bit budgets allow (two for typical
+    # shapes).
+    width = jnp.maximum(x1 - x0, 1)
+    corner = y0 * ntx + x0
+    rank_p = jnp.arange(P, dtype=jnp.int32)          # rank = depth position
+    field_bits = [(offsets, max(L.bit_length(), 1)),
+                  (width, max(ntx.bit_length(), 1)),
+                  (corner, max((ntiles - 1).bit_length(), 1)),
+                  (rank_p, B)]
+    streams, layout = [], []                         # layout: (si, shift, nb)
+    for arr, nb in field_bits:
+        assert nb <= 31, "field exceeds an int32 stream"
+        if streams and layout[-1][1] + layout[-1][2] + nb <= 31:
+            sh = layout[-1][1] + layout[-1][2]
+            streams[-1] = streams[-1] | (arr << sh)
+        else:
+            sh = 0
+            streams.append(arr)
+        layout.append((len(streams) - 1, sh, nb))
+    svals = jnp.stack(streams, axis=0)               # (ns, P)
+    delta = jnp.concatenate([svals[:, :1], svals[:, 1:] - svals[:, :-1]],
+                            axis=1)
+    acc = jnp.zeros((len(streams), L), jnp.int32).at[:, offsets].add(
+        delta, mode="drop")
+    acc = jnp.cumsum(acc, axis=1)
+    off_e, w_e, corner_e, rank_e = (
+        (acc[si] >> sh) & ((1 << nb) - 1) for si, sh, nb in layout)
+
     iota = jnp.arange(L, dtype=jnp.int32)
     entry_valid = iota < total
-    r = iota - rep[:, 0].astype(jnp.int32)
-    w = rep[:, 2].astype(jnp.int32)
-    dy = r // w
-    tile = rep[:, 1].astype(jnp.int32) + dy * ntx + (r - dy * w)
-    payloads = tuple(rep[:, 4 + i] for i in range(nc))
+    r = iota - off_e
+    dy = r // w_e
+    tile = corner_e + dy * ntx + (r - dy * w_e)
+
+    if nc:
+        # real-valued carry columns still ride a jnp.repeat (they need
+        # exact f32 values and a differentiable path; the integer control
+        # fields above need neither)
+        rep_c = jnp.repeat(jnp.stack(ccols_p, axis=1), counts, axis=0,
+                           total_repeat_length=L)
+        payloads = tuple(rep_c[:, i] for i in range(nc))
+    else:
+        payloads = ()
 
     if (ntiles + 1) << B <= (1 << 31):
         key = jnp.where(entry_valid,
-                        (tile << B) | rep[:, 3].astype(jnp.int32),
+                        (tile << B) | rank_e,
                         jnp.int32(ntiles << B))      # sentinel sorts last
         sorted_l = jax.lax.sort((key, *payloads), num_keys=1,
                                 is_stable=False)
@@ -153,10 +195,10 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     else:
         # split rank across key high bits + payload (rare: huge P*tiles)
         hi_bits = 31 - (ntiles + 1).bit_length()
-        rk = rep[:, 3].astype(jnp.int32)
-        key = jnp.where(entry_valid, (tile << hi_bits) | (rk >> (B - hi_bits)),
+        key = jnp.where(entry_valid,
+                        (tile << hi_bits) | (rank_e >> (B - hi_bits)),
                         jnp.int32(ntiles << hi_bits))
-        sorted_l = jax.lax.sort((key, rk, *payloads), num_keys=2,
+        sorted_l = jax.lax.sort((key, rank_e, *payloads), num_keys=2,
                                 is_stable=True)
         rank = sorted_l[1]
         ccols_l = sorted_l[2:]

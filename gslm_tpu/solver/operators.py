@@ -141,23 +141,38 @@ class LMOperators:
 
 
 def chunked_residual_fn(residual_of_batch: Callable, cameras_stacked,
-                        chunk_size: int):
+                        chunk_size: int, view_valid=None):
     """Micro-batch a residual function over the view axis with lax.map.
 
     ``cameras_stacked``: a CameraBatch whose leading axis B is a multiple of
-    chunk_size (pad views if needed). Returns r(θ) evaluating all chunks
+    chunk_size (pad views if needed; zero the pads via ``view_valid``).
+    ``view_valid``: optional (B,) f32 per-view weights multiplied into the
+    residuals (0.0 for padding views). Returns r(θ) evaluating all chunks
     sequentially on-device — bounded memory like the reference's batch_size
-    loop (solver_functions.py:38-49), but inside one traced program.
+    loop (solver_functions.py:38-49), but inside one traced program, so the
+    LM operators' jvp/vjp run *through* the chunk loop and peak memory is
+    one chunk's render, not the whole window.
     """
     def split(x):
         b = x.shape[0]
-        assert b % chunk_size == 0
+        assert b % chunk_size == 0, (b, chunk_size)
         return x.reshape(b // chunk_size, chunk_size, *x.shape[1:])
 
     chunked = jax.tree.map(split, cameras_stacked)
+    if view_valid is not None:
+        chunked = (chunked, split(view_valid))
 
     def residual_fn(params):
-        out = jax.lax.map(lambda cams: residual_of_batch(params, cams), chunked)
+        if view_valid is None:
+            out = jax.lax.map(lambda cams: residual_of_batch(params, cams),
+                              chunked)
+        else:
+            def one(args):
+                cams, w = args
+                r = residual_of_batch(params, cams)
+                return jax.tree.map(
+                    lambda x: x * w[:, None, None, None], r)
+            out = jax.lax.map(one, chunked)
         return jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), out)
 
     return residual_fn

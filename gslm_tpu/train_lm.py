@@ -28,7 +28,7 @@ from gslm_tpu.models import gaussians as G
 from gslm_tpu.models.cameras import CameraBatch
 from gslm_tpu.ops.rasterize_tiled import RasterConfig
 from gslm_tpu.solver.cg import cgls_damped_unrolled
-from gslm_tpu.solver.operators import LMOperators
+from gslm_tpu.solver.operators import LMOperators, chunked_residual_fn
 from gslm_tpu.solver.residuals import batch_residuals
 
 
@@ -37,47 +37,77 @@ from gslm_tpu.solver.residuals import batch_residuals
     static_argnames=("rcfg", "lm", "active_sh_degree", "use_exp",
                      "lambda_dssim", "axis_name"))
 def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
+                  win_valid=None, val_valid=None,
                   *, rcfg: RasterConfig, lm: cfg_mod.LMParams,
                   active_sh_degree: int, use_exp: bool,
                   lambda_dssim: float = 0.2, axis_name: str | None = None):
     """One LM outer step (reference train_jvp.py:221-288). Returns
     (new_params, info dict).
 
+    When the window exceeds ``lm.micro_batch`` views, the residual function
+    micro-batches over view chunks with lax.map (the reference's
+    batch_size=20 chunk loop, solver_functions.py:38-49,88-97,110-121) —
+    peak memory is one chunk's render regardless of ``--num_images``. Pad
+    the window to a chunk multiple and zero the pads via ``win_valid``
+    ((B,) f32; ``val_valid`` likewise for the validation views).
+
     ``axis_name``: set when the window/val view axes are sharded across a
     mesh axis inside shard_map — residual dots, Jᵀ·u partials, and the
     line-search losses then psum over it (parallel/steps.py wires this)."""
 
-    def residual_fn(p):
-        return batch_residuals(p, window, bg, config=rcfg,
-                               lambda_dssim=lambda_dssim,
-                               disable_ssim=lm.disable_ssim,
-                               use_trained_exp=use_exp,
-                               active_sh_degree=active_sh_degree, alive=alive)
+    def res_of(cfg):
+        def f(p, cams):
+            return batch_residuals(p, cams, bg, config=cfg,
+                                   lambda_dssim=lambda_dssim,
+                                   disable_ssim=lm.disable_ssim,
+                                   use_trained_exp=use_exp,
+                                   active_sh_degree=active_sh_degree,
+                                   alive=alive)
+        return f
+
+    nwin = window.world_view.shape[0]
+    mb = lm.micro_batch if lm.micro_batch > 0 else nwin
+    chunked = nwin > mb
+
+    def make_residual_fn(cfg):
+        if chunked:
+            return chunked_residual_fn(res_of(cfg), window, mb,
+                                       view_valid=win_valid)
+        f = res_of(cfg)
+        if win_valid is None:
+            return lambda p: f(p, window)
+        return lambda p: jax.tree.map(
+            lambda x: x * win_valid[:, None, None, None], f(p, window))
+
+    residual_fn = make_residual_fn(rcfg)
 
     # forward-mode twin for J·v when the VJP path renders through the
     # custom-VJP Pallas kernel (see LMOperators.residual_fn_jvp)
     from gslm_tpu.renderer import resolve_impl
     residual_fn_jvp = None
     if resolve_impl(rcfg.impl) == "pallas":
-        jcfg = rcfg.replace(impl="pallas_jvp")
+        residual_fn_jvp = make_residual_fn(rcfg.replace(impl="pallas_jvp"))
 
-        def residual_fn_jvp(p):
-            return batch_residuals(p, window, bg, config=jcfg,
-                                   lambda_dssim=lambda_dssim,
-                                   disable_ssim=lm.disable_ssim,
-                                   use_trained_exp=use_exp,
-                                   active_sh_degree=active_sh_degree,
-                                   alive=alive)
+    nval = val.world_view.shape[0]
+    val_mb = mb if nval > mb else nval
+    val_chunks = jax.tree.map(
+        lambda x: x.reshape(nval // val_mb, val_mb, *x.shape[1:]), val)
+    vweights = (jnp.ones((nval,), jnp.float32) if val_valid is None
+                else val_valid).reshape(nval // val_mb, val_mb)
+    val_res = res_of(rcfg)
 
     def val_loss(p):
-        r = batch_residuals(p, val, bg, config=rcfg,
-                            lambda_dssim=lambda_dssim,
-                            disable_ssim=lm.disable_ssim,
-                            use_trained_exp=use_exp,
-                            active_sh_degree=active_sh_degree, alive=alive)
+        # chunked sum of squared residual norms: bounded memory for the 50
+        # validation views (reference train_jvp.py:214-216,264-280)
+        def one(args):
+            cams, w = args
+            r = val_res(p, cams)
+            r = jax.tree.map(lambda x: x * w[:, None, None, None], r)
+            return r.loss_scalar
+        loss = jnp.sum(jax.lax.map(one, (val_chunks, vweights)))
         if axis_name is not None:
-            return jax.lax.psum(r.loss_scalar, axis_name)
-        return r.loss_scalar
+            return jax.lax.psum(loss, axis_name)
+        return loss
 
     group_mask = G.param_group_mask(
         mask_xyz=lm.mask_xyz)  # reference masks xyz only (train_jvp.py:221)
@@ -135,6 +165,22 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     n = all_train.batch_size
     win = select_window(n, lm.num_images, rng)
     vidx = val_indices(n, lm)
+
+    def pad_to_chunk(idx):
+        """Pad a view-index list to a micro_batch multiple (pads repeat the
+        first view and carry weight 0 so residuals/losses are unchanged)."""
+        mb = lm.micro_batch
+        if mb <= 0 or len(idx) <= mb:
+            return idx, None
+        pad = (-len(idx)) % mb
+        w = np.ones(len(idx) + pad, np.float32)
+        if pad:
+            w[len(idx):] = 0.0
+            idx = idx + [idx[0]] * pad
+        return idx, jnp.asarray(w)
+
+    win, win_valid = pad_to_chunk(win)
+    vidx, val_valid = pad_to_chunk(vidx)
     window = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
     val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
 
@@ -148,6 +194,7 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
         params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg)
     else:
         params, info = lm_outer_step(params, aux.alive, window, val, bg,
+                                     win_valid, val_valid,
                                      rcfg=rcfg, lm=lm,
                                      active_sh_degree=active_sh_degree,
                                      use_exp=use_exp,

@@ -69,7 +69,12 @@ def test_matvec_matches_finite_difference(rng):
     num = float(res_dot(jax.tree.map(jnp.subtract, jv, fd),
                         jax.tree.map(jnp.subtract, jv, fd)))
     den = float(res_dot(jv, jv))
-    assert num / max(den, 1e-12) < 1e-2, (num, den)
+    # Loose bound on purpose: the render is piecewise-smooth — central
+    # differences at eps=1e-3 straddle the alpha >= 1/255 contribution
+    # gates (CUDA renderCUDA has the same skip), each crossing injecting
+    # O(1/255 / eps) FD noise the exact JVP correctly ignores. The adjoint
+    # test above is the tight consistency check.
+    assert num / max(den, 1e-12) < 3e-2, (num, den)
 
 
 def test_group_mask_zeroes_groups(rng):

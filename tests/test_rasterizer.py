@@ -77,9 +77,13 @@ def test_grad_matches_between_impls(rng):
     g_ref = jax.grad(lambda p: loss(p, "ref"))(params)
     g_tiled = jax.grad(lambda p: loss(p, "tiled"))(params)
     for name in ("xyz", "features_dc", "scaling", "rotation", "opacity"):
+        # rtol covers f32 summation-order rounding on O(10)-magnitude grads
+        # (the two compositors reduce in different orders); the reference's
+        # 1e-5 threshold (tests/test_batch_training_loss.py:104-110) is on
+        # normalized per-pixel losses.
         np.testing.assert_allclose(np.asarray(getattr(g_tiled, name)),
                                    np.asarray(getattr(g_ref, name)),
-                                   atol=1e-5,
+                                   atol=1e-5, rtol=1e-5,
                                    err_msg=f"grad mismatch in {name}")
 
 
