@@ -22,6 +22,7 @@ from gslm_tpu.parallel.mesh import (adam_sharding, aux_sharding,
                                     camera_sharding, make_mesh,
                                     params_sharding, replicated, shard_state)
 from gslm_tpu.parallel.steps import (make_dp_lm_step, make_dp_train_step,
+                                     make_mp_train_step,
                                      make_sharded_lm_step,
                                      make_sharded_train_step)
 
@@ -29,5 +30,5 @@ __all__ = [
     "make_mesh", "params_sharding", "aux_sharding", "adam_sharding",
     "camera_sharding", "replicated", "shard_state",
     "make_sharded_train_step", "make_sharded_lm_step",
-    "make_dp_train_step", "make_dp_lm_step",
+    "make_dp_train_step", "make_dp_lm_step", "make_mp_train_step",
 ]

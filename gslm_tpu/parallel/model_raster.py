@@ -1,0 +1,269 @@
+"""Model-parallel raster path: Gaussians sharded, tiles banded.
+
+The reference keeps the whole P axis resident on one GPU
+(scene/gaussian_model.py:256-266); this module supplies the multi-chip
+model-parallel decomposition of the raster pipeline (SURVEY §5.7/§7,
+BASELINE.json north star) as per-device functions meant to run inside a
+``shard_map`` over a ("data", "model") mesh:
+
+  1. each device preprocesses only its OWN Gaussian shard (P/M rows) for
+     its own view shard (B/D views) — the parameter-heavy stage splits
+     both ways and parameters are never replicated;
+  2. the projected splats (screen-space activations: ~15 f32/Gaussian,
+     orders of magnitude lighter than the parameter rows) are
+     ``all_gather``-ed over the "model" axis; XLA transposes this to a
+     psum_scatter of the cotangents in the backward pass, i.e. each shard
+     receives exactly its own Gaussians' gradients, reduced over all tile
+     owners, for free;
+  3. every model shard owns a horizontal BAND of tile rows of every view
+     (rows [m*band_rows, (m+1)*band_rows)); it clips the gathered rects to
+     its band and runs the ordinary duplicate→sort→composite pipeline on a
+     band-local canvas — the sort/compositor work divides M-ways (and
+     D-ways over views);
+  4. band images concatenate back to full frames through the shard_map
+     out_specs (rows axis sharded over "model").
+
+Band-local coordinates are exact: the pixel-space shift ``y -= band_lo*16``
+subtracts a representable integer from an f32 whose ulp divides 1, so the
+alpha math is bitwise identical to the single-device render. (The only
+permitted deviation is depth-tie ordering: gathered Gaussians are
+shard-major, so equal-depth splats may swap — measure-zero for real
+scenes.)
+
+A record-level all_to_all (sending only each band's surviving (tile,
+splat) records instead of all splats) is the next refinement; at P=131k
+the full splat gather is ~8 MB over ICI and far from the bottleneck.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gslm_tpu.models.cameras import Camera, CameraBatch
+from gslm_tpu.models.gaussians import GaussianParams
+from gslm_tpu.ops.projection import TILE, Splats2D, preprocess
+from gslm_tpu.ops.rasterize_tiled import RasterConfig, _cdiv
+
+
+def band_rows(height: int, n_model: int) -> int:
+    """Tile rows per model shard (static)."""
+    return _cdiv(_cdiv(height, TILE), n_model)
+
+
+def mp_render_views(params_local: GaussianParams, cameras: CameraBatch,
+                    bg: jnp.ndarray, *, config: RasterConfig,
+                    n_model: int, model_axis: str = "model",
+                    active_sh_degree: int | None = None,
+                    use_trained_exp: bool = False,
+                    alive_local: jnp.ndarray | None = None,
+                    mean2d_offset_local: jnp.ndarray | None = None,
+                    impl: str | None = None):
+    """Per-device body: render this device's view shard restricted to this
+    device's tile-row band, from model-sharded parameters.
+
+    Returns (band_images (Bd, 3, band_rows*TILE, W), band_invdepth,
+    radii_local (Bd, Pl), diagnostics dict). Must run inside shard_map with
+    ``model_axis`` in scope; cameras are this device's data shard
+    (replicated over the model axis).
+    """
+    from gslm_tpu.renderer import apply_exposure, resolve_impl
+
+    if impl is None:
+        impl = config.impl
+    if active_sh_degree is None:
+        active_sh_degree = params_local.sh_degree
+
+    H, W = cameras.height, cameras.width
+    Bd = cameras.world_view.shape[0]
+    nty = _cdiv(H, TILE)
+    ntx = _cdiv(W, TILE)
+    bh = band_rows(H, n_model)
+    m = jax.lax.axis_index(model_axis)
+    band_lo = m * bh                              # first tile row of my band
+
+    batched_cam = Camera(
+        world_view=cameras.world_view, full_proj=cameras.full_proj,
+        campos=cameras.campos, tanfovx=cameras.tanfovx,
+        tanfovy=cameras.tanfovy, exposure_idx=cameras.exposure_idx,
+        height=H, width=W)
+
+    def pre_view(camera):
+        return preprocess(params_local, camera,
+                          active_sh_degree=active_sh_degree,
+                          antialiasing=config.antialiasing,
+                          alive=alive_local,
+                          mean2d_offset=mean2d_offset_local)
+
+    sv_local = jax.vmap(pre_view)(batched_cam)    # (Bd, Pl, ...)
+    radii_local = sv_local.radius                 # for densify/visibility
+
+    # ---- gather splats over the model axis (activations, not params) ----
+    sv = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, model_axis, axis=1, tiled=True),
+        sv_local)                                 # (Bd, P, ...)
+
+    # ---- clip rects to my band; shift to band-local coordinates ---------
+    x0 = sv.rect_min[..., 0]
+    y0 = jnp.clip(sv.rect_min[..., 1], band_lo, band_lo + bh) - band_lo
+    x1 = sv.rect_max[..., 0]
+    y1 = jnp.clip(sv.rect_max[..., 1], band_lo, band_lo + bh) - band_lo
+    tile_count = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    visible = sv.visible & (tile_count > 0)
+    yshift = (band_lo * TILE).astype(jnp.float32)
+    mean2d = jnp.stack([sv.mean2d[..., 0], sv.mean2d[..., 1] - yshift], -1)
+
+    # ---- stack the Bd per-view bands vertically (renderer.batch_render
+    # pattern: view-disjoint tile rows, one sort) ----
+    voff = jnp.arange(Bd, dtype=jnp.int32)[:, None]
+    rect_min = jnp.stack([x0, y0 + voff * bh], axis=-1)
+    rect_max = jnp.stack([x1, y1 + voff * bh], axis=-1)
+
+    def flat(x):
+        return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+    splats = Splats2D(
+        mean2d=flat(mean2d), conic=flat(sv.conic), color=flat(sv.color),
+        opacity=flat(jnp.where(visible, sv.opacity, 0.0)),
+        depth=flat(jnp.where(visible, sv.depth, jnp.inf)),
+        invdepth=flat(sv.invdepth), radius=flat(sv.radius),
+        rect_min=flat(rect_min), rect_max=flat(rect_max),
+        tile_count=flat(jnp.where(visible, tile_count, 0)),
+        visible=flat(visible))
+
+    stacked_h = Bd * bh * TILE
+    if resolve_impl(impl) in ("pallas", "pallas_jvp"):
+        from gslm_tpu.ops.rasterize_pallas import rasterize_pallas
+        out = rasterize_pallas(splats, stacked_h, ntx * TILE, bg, config,
+                               interpret=jax.default_backend() != "tpu",
+                               mode="jvp" if impl == "pallas_jvp" else "vjp",
+                               view_rows=bh)
+    else:
+        from gslm_tpu.ops.rasterize_tiled import rasterize_tiled
+        out = rasterize_tiled(splats, stacked_h, ntx * TILE, bg, config,
+                              view_rows=bh)
+
+    bandH = bh * TILE
+    image = jnp.moveaxis(
+        out["render"].reshape(3, Bd, bandH, -1)[..., :W], 1, 0)
+    invd = jnp.moveaxis(
+        out["invdepth"].reshape(1, Bd, bandH, -1)[..., :W], 1, 0)
+    if use_trained_exp:
+        image = jax.vmap(apply_exposure)(
+            image, params_local.exposure[cameras.exposure_idx])
+    image = jnp.clip(image, 0.0, 1.0)
+
+    diags = {"n_duplicates": out["n_duplicates"],
+             "overflow": out["overflow"],
+             "max_tile_load": out["max_tile_load"]}
+    return image, invd, radii_local, diags
+
+
+def halo_exchange_rows(x: jnp.ndarray, halo: int, n_model: int,
+                       model_axis: str) -> jnp.ndarray:
+    """Extend band images (..., bandH, W) with ``halo`` rows from the
+    vertical neighbors via ppermute; devices at the global top/bottom
+    receive zeros (ppermute's unpaired-destination semantics) — exactly
+    the zero-'SAME' padding the windowed SSIM applies at image edges, so
+    band-local SSIM maps match the single-device map bitwise."""
+    top = jax.lax.ppermute(
+        x[..., -halo:, :], model_axis,
+        [(i, i + 1) for i in range(n_model - 1)])     # from m-1's bottom
+    bot = jax.lax.ppermute(
+        x[..., :halo, :], model_axis,
+        [(i, i - 1) for i in range(1, n_model)])      # from m+1's top
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def mp_scalar_training_loss(params_local: GaussianParams,
+                            cameras: CameraBatch, bg: jnp.ndarray, *,
+                            config: RasterConfig, n_model: int,
+                            lambda_dssim: float = 0.2,
+                            use_trained_exp: bool = False,
+                            active_sh_degree: int | None = None,
+                            alive_local: jnp.ndarray | None = None,
+                            mean2d_offset_local: jnp.ndarray | None = None,
+                            data_axis: str = "data",
+                            model_axis: str = "model"):
+    """Band-local first-order loss, exactly equal (up to psum ordering) to
+    scalar_training_loss on the full frames. Returns (loss, info) with
+    info["radii_local"] (Bd, Pl) and band diagnostics.
+
+    The 11x11 SSIM windows straddle band boundaries; a 5-row halo exchange
+    (ppermute over the model axis) supplies the neighbor rows, and rows at
+    or past the canvas height are zeroed to reproduce the single-device
+    crop-then-zero-pad semantics."""
+    from gslm_tpu.ops.ssim import ssim_map
+
+    H = cameras.height
+    image, invd, radii_local, diags = mp_render_views(
+        params_local, cameras, bg, config=config, n_model=n_model,
+        model_axis=model_axis, active_sh_degree=active_sh_degree,
+        use_trained_exp=use_trained_exp, alive_local=alive_local,
+        mean2d_offset_local=mean2d_offset_local)
+
+    bh_px = band_rows(H, n_model) * TILE
+    m = jax.lax.axis_index(model_axis)
+    row_in_canvas = (m * bh_px + jnp.arange(bh_px)) < H
+    amask = band_slice(cameras.alpha_mask, H, n_model, model_axis)
+    image = image * amask * row_in_canvas[:, None].astype(image.dtype)
+    gt = band_slice(cameras.gt_image, H, n_model, model_axis)
+    valid = band_slice(cameras.pixel_valid(), H, n_model, model_axis)
+
+    npix_local = 3.0 * jnp.sum(valid, axis=(1, 2, 3))           # (Bd,)
+    npix = jnp.maximum(
+        jax.lax.psum(jax.lax.stop_gradient(npix_local), model_axis), 1.0)
+    l1_sum_local = jnp.sum(jnp.abs(image - gt) * valid, axis=(1, 2, 3))
+
+    halo = 5                                        # (11//2) window radius
+    ext1 = halo_exchange_rows(image, halo, n_model, model_axis)
+    ext2 = halo_exchange_rows(gt, halo, n_model, model_axis)
+    smap = ssim_map(ext1, ext2)[..., halo:-halo, :] * valid
+    ssim_sum_local = jnp.sum(smap, axis=(1, 2, 3))
+
+    # GRADIENT CONTRACT: the returned loss is this device's LOCAL partial
+    # of the global objective (constants dropped). Differentiating the
+    # local partial is the correct SPMD pattern — cross-device terms enter
+    # the gradient through the collective transposes (all_gather →
+    # psum_scatter, ppermute → reverse ppermute). Do NOT psum inside the
+    # differentiated region: each device's unit cotangent seed would then
+    # be summed by the psum transpose, inflating every gradient by the
+    # axis size (Adam's scale invariance masks this for parameters but
+    # densification stats see the raw 2x/4x).
+    lc = ((1.0 - lambda_dssim) * l1_sum_local
+          - lambda_dssim * ssim_sum_local) / npix            # (Bd,)
+    loss_local = jnp.mean(lc) + lambda_dssim / n_model
+
+    # replicated VALUES for reporting (stop-gradient psums)
+    lc_g = jax.lax.psum(jax.lax.stop_gradient(lc), model_axis)
+    loss_value = jnp.mean(lc_g) + lambda_dssim
+    l1 = jax.lax.psum(jax.lax.stop_gradient(l1_sum_local),
+                      model_axis) / npix
+    ssim_mean = jax.lax.psum(jax.lax.stop_gradient(ssim_sum_local),
+                             model_axis) / npix
+    info = {"l1": l1, "ssim": ssim_mean, "loss": loss_value,
+            "radii_local": radii_local,
+            "band_render": image, "band_invdepth": invd, "diags": diags}
+    return loss_local, info
+
+
+def band_slice(x: jnp.ndarray, height: int, n_model: int, model_axis: str,
+               fill: float = 0.0):
+    """Slice this device's tile-row band out of per-view images
+    (..., H, W) -> (..., band_rows*TILE, W), zero-padded past H.
+
+    Use inside shard_map to band-shard ground-truth images/masks so the
+    loss is computed band-locally (psum the scalars over the model axis).
+    """
+    bh_px = band_rows(height, n_model) * TILE
+    m = jax.lax.axis_index(model_axis)
+    pad = n_model * bh_px - height
+    if pad:
+        cfg = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+        x = jnp.pad(x, cfg, constant_values=fill)
+    start = (m * bh_px).astype(jnp.int32)
+    starts = [jnp.int32(0)] * (x.ndim - 2) + [start, jnp.int32(0)]
+    sizes = x.shape[:-2] + (bh_px, x.shape[-1])
+    return jax.lax.dynamic_slice(x, starts, sizes)

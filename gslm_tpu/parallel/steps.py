@@ -133,6 +133,123 @@ def make_dp_train_step(mesh, *, rcfg, opt, active_sh_degree, use_exp,
     return jax.jit(mapped)
 
 
+def _mp_specs(mesh, params, opt_state):
+    """shard_map spec pytrees for model-sharded state: every per-Gaussian
+    leaf P("model"), exposure/step replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.models.gaussians import PARAM_GROUPS, GaussianAux
+    from gslm_tpu.optim import AdamState
+
+    g, rep = P("model"), P()
+    p_spec = params.replace(**({grp: g for grp in PARAM_GROUPS
+                                if grp != "exposure"} | {"exposure": rep}))
+    a_spec = GaussianAux(alive=g, max_radii2d=g, xyz_gradient_accum=g,
+                         denom=g)
+    o_spec = AdamState(
+        mu=opt_state.mu.replace(
+            **({grp: g for grp in PARAM_GROUPS if grp != "exposure"}
+               | {"exposure": rep})),
+        nu=opt_state.nu.replace(
+            **({grp: g for grp in PARAM_GROUPS if grp != "exposure"}
+               | {"exposure": rep})),
+        step=rep)
+    return p_spec, a_spec, o_spec
+
+
+def make_mp_train_step(mesh, params, opt_state, *, rcfg, opt,
+                       active_sh_degree, use_exp, sparse_adam, update_stats):
+    """Model-parallel Adam step via shard_map over ("data", "model"):
+    Gaussians sharded over "model" (parameters are NEVER replicated),
+    views over "data", and every device composites only its tile-row band
+    (parallel/model_raster.py). Parameter/optimizer/densification state
+    all live sharded; gradients flow back to their owner shards through
+    the all_gather transpose (a psum_scatter XLA inserts), with only the
+    tiny replicated leaves (exposure) psum'd over "model" by hand.
+    Pallas-kernel compatible (one kernel launch per device).
+
+    ``params``/``opt_state`` are concrete examples used to build matching
+    spec pytrees (their static fields are part of the treedef).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.densify import add_densification_stats
+    from gslm_tpu.optim import adam_step, group_learning_rates
+    from gslm_tpu.parallel.model_raster import (band_slice,
+                                                mp_scalar_training_loss)
+
+    n_model = mesh.shape["model"]
+    p_spec, a_spec, o_spec = _mp_specs(mesh, params, opt_state)
+
+    def step_fn(params_l, aux_l, opt_l, cam, bg, step, spatial_lr_scale,
+                depth_weight):
+        H = cam.height
+        cap_l = params_l.xyz.shape[0]
+
+        def loss_fn(p, m2d):
+            # local-partial objective: see model_raster.py GRADIENT
+            # CONTRACT — no psum inside the differentiated region
+            loss_l, info = mp_scalar_training_loss(
+                p, cam, bg, config=rcfg, n_model=n_model,
+                lambda_dssim=opt.lambda_dssim, use_trained_exp=use_exp,
+                active_sh_degree=active_sh_degree, alive_local=aux_l.alive,
+                mean2d_offset_local=m2d)
+            dmask = band_slice(cam.depth_mask, H, n_model, "model")
+            dgt = band_slice(cam.invdepth_gt, H, n_model, "model")
+            npix = jnp.maximum(jax.lax.psum(
+                jax.lax.stop_gradient(jnp.sum(dmask)), "model"), 1.0)
+            depth_local = jnp.sum(
+                jnp.abs(info["band_invdepth"] - dgt) * dmask) / npix
+            return loss_l + depth_weight * depth_local, (info, depth_local)
+
+        m2d0 = jnp.zeros((cap_l, 2), jnp.float32)
+        (_, (info, depth_local)), (g_params, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params_l, m2d0)
+
+        # collectives: view-mean over "data"; per-Gaussian grads are
+        # already owner-resident (all_gather transpose) — only the
+        # replicated exposure leaf needs the "model" reduction
+        depth_l1 = jax.lax.psum(depth_local, "model")
+        loss = jax.lax.pmean(info["loss"] + depth_weight * depth_l1, "data")
+        g_params = g_params.replace(
+            exposure=jax.lax.psum(g_params.exposure, "model"))
+        g_params = jax.lax.pmean(g_params, "data")
+        g_m2d = jax.lax.psum(g_m2d * cam.batch_size, "data")
+        radii = jax.lax.pmax(jnp.max(info["radii_local"], axis=0), "data")
+        if update_stats:
+            aux_l = add_densification_stats(aux_l, g_m2d, radii)
+
+        lrs = group_learning_rates(opt, step, spatial_lr_scale)
+        visible = (radii > 0) if sparse_adam else None
+        params_l, opt_l = adam_step(params_l, g_params, opt_l, lrs, visible)
+        gt_b = band_slice(cam.gt_image, H, n_model, "model")
+        mse_sum = jax.lax.psum(
+            jnp.sum((info["band_render"] - gt_b) ** 2), "model")
+        npix_img = jax.lax.psum(
+            jnp.asarray(jnp.size(gt_b), jnp.float32), "model")
+        metrics = {
+            "loss": loss,
+            "l1": jax.lax.pmean(jnp.mean(info["l1"]), "data"),
+            "depth_l1": jax.lax.pmean(depth_l1, "data"),
+            "psnr": jax.lax.pmean(
+                -10.0 * jnp.log10(jnp.maximum(mse_sum / npix_img, 1e-10)),
+                "data"),
+            "overflow": jax.lax.pmax(
+                jnp.max(info["diags"]["overflow"]), ("data", "model")),
+            "max_tile_load": jax.lax.pmax(
+                jnp.max(info["diags"]["max_tile_load"]), ("data", "model")),
+        }
+        return params_l, aux_l, opt_l, metrics
+
+    rep = P()
+    mapped = _shard_map(
+        step_fn, mesh,
+        in_specs=(p_spec, a_spec, o_spec, P("data"), rep, rep, rep, rep),
+        out_specs=(p_spec, a_spec, o_spec, rep))
+    return jax.jit(mapped)
+
+
 def make_dp_lm_step(mesh, *, rcfg, lm, active_sh_degree, use_exp,
                     lambda_dssim=0.2):
     """Data-parallel LM outer step via shard_map: the LM view window and

@@ -140,6 +140,73 @@ def test_dp_shard_map_train_step_matches_single(tiny):
                                atol=1e-5)
 
 
+def test_mp_shard_map_train_step_matches_single(tiny):
+    """Model-parallel step (Gaussians sharded, tile-row bands) vs single.
+
+    Parameters are NOT replicated: in_specs place P("model") on every
+    per-Gaussian leaf, each device renders only its band, and grads return
+    to owner shards through the all_gather transpose."""
+    params, aux, cams = tiny
+    opt = cfg_mod.OptimizationParams()
+    opt_state = init_adam(params)
+    bg = jnp.zeros(3)
+    args = (bg, jnp.int32(1), jnp.float32(1.0), jnp.float32(0.1))
+    kw = dict(rcfg=RCFG, opt=opt, active_sh_degree=3, use_exp=False,
+              sparse_adam=False, update_stats=True)
+
+    ref_p, ref_aux, ref_opt, ref_m = train_step(
+        params, aux, opt_state, cams, *args, **kw)
+
+    from gslm_tpu.parallel import make_mp_train_step
+    mesh = make_mesh(2, 2)
+    step_fn = make_mp_train_step(mesh, params, opt_state, **kw)
+    got_p, got_aux, got_opt, got_m = step_fn(params, aux, opt_state, cams,
+                                             *args)
+    assert np.allclose(float(got_m["loss"]), float(ref_m["loss"]), atol=1e-6)
+    assert np.allclose(float(got_m["depth_l1"]), float(ref_m["depth_l1"]),
+                       atol=1e-6)
+    for g in ("xyz", "scaling", "opacity", "rotation", "exposure"):
+        np.testing.assert_allclose(np.asarray(getattr(got_p, g)),
+                                   np.asarray(getattr(ref_p, g)),
+                                   atol=1e-5, err_msg=g)
+    np.testing.assert_allclose(np.asarray(got_aux.xyz_gradient_accum),
+                               np.asarray(ref_aux.xyz_gradient_accum),
+                               atol=1e-5)
+
+
+def test_mp_render_views_matches_batch_render(tiny):
+    """Band renders concatenate to exactly the single-device frames."""
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.parallel.model_raster import mp_render_views
+    from gslm_tpu.parallel.steps import _mp_specs
+    from gslm_tpu.renderer import batch_render
+
+    params, aux, cams = tiny
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    ref = batch_render(params, cams, bg, config=RCFG, alive=aux.alive)
+
+    mesh = make_mesh(2, 2)
+    p_spec, a_spec, _ = _mp_specs(mesh, params, init_adam(params))
+
+    def body(p_l, alive_l, cam):
+        img, invd, radii, diags = mp_render_views(
+            p_l, cam, bg, config=RCFG, n_model=2, alive_local=alive_l)
+        return img, invd
+
+    from jax.experimental.shard_map import shard_map
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(p_spec, P("model"), P("data")),
+        out_specs=(P("data", None, "model"), P("data", None, "model")),
+        check_rep=False))
+    img, invd = fn(params, aux.alive, cams)
+    H = cams.height
+    np.testing.assert_allclose(np.asarray(img[:, :, :H]),
+                               np.asarray(ref.render), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(invd[:, :, :H]),
+                               np.asarray(ref.invdepth), atol=1e-6)
+
+
 def test_dp_shard_map_lm_step_matches_single(tiny):
     params, aux, cams = tiny
     bg = jnp.zeros(3)
