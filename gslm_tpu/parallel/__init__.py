@@ -20,6 +20,7 @@ step factories.
 
 from gslm_tpu.parallel.mesh import (adam_sharding, aux_sharding,
                                     camera_sharding, make_mesh,
+                                    maybe_initialize_distributed,
                                     params_sharding, replicated, shard_state)
 from gslm_tpu.parallel.steps import (make_dp_lm_step, make_dp_train_step,
                                      make_mp_train_step,
@@ -29,6 +30,7 @@ from gslm_tpu.parallel.steps import (make_dp_lm_step, make_dp_train_step,
 __all__ = [
     "make_mesh", "params_sharding", "aux_sharding", "adam_sharding",
     "camera_sharding", "replicated", "shard_state",
+    "maybe_initialize_distributed",
     "make_sharded_train_step", "make_sharded_lm_step",
     "make_dp_train_step", "make_dp_lm_step", "make_mp_train_step",
 ]

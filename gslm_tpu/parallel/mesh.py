@@ -24,6 +24,44 @@ from gslm_tpu.models.gaussians import PARAM_GROUPS, GaussianParams
 from gslm_tpu.optim import AdamState
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host wiring (SURVEY §5.8): initialize the JAX distributed
+    runtime when the standard coordinator env vars (or GSLM_DIST=1) are
+    present, so ``jax.devices()`` spans every process and the meshes built
+    below become process-spanning — GSPMD/shard_map collectives then ride
+    ICI within a slice and DCN across slices with no further code changes.
+
+    Trigger env (either set explicitly or injected by the launcher):
+      JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+      (jax.distributed.initialize reads these), or GSLM_DIST=1 on TPU
+      pods where initialize() autodetects everything.
+
+    Returns True if the distributed runtime was (already) initialized.
+    Call once, before any backend touch; safe to call when single-process
+    (no-op). scripts/smoke_multihost.py exercises the 2-process CPU path.
+    """
+    import os
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return True
+    want = (os.environ.get("GSLM_DIST") == "1"
+            or "JAX_COORDINATOR_ADDRESS" in os.environ)
+    if not want:
+        return False
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+        if os.environ.get("JAX_LOCAL_DEVICE_IDS"):
+            kwargs["local_device_ids"] = [
+                int(i) for i in
+                os.environ["JAX_LOCAL_DEVICE_IDS"].split(",")]
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def make_mesh(n_data: int | None = None, n_model: int | None = None,
               devices=None) -> Mesh:
     """Build a (data, model) mesh.

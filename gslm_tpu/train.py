@@ -107,9 +107,15 @@ def evaluate(params, aux, cams: CameraBatch, bg, rcfg, active_sh_degree,
 
 
 def training(args, *, lm_phase_hook=None):
+    from gslm_tpu.utils.general import safe_state
+    safe_state(getattr(args, "quiet", False))
     if getattr(args, "platform", ""):
         # must beat the ambient JAX_PLATFORMS preset before backend init
         jax.config.update("jax_platforms", args.platform)
+    from gslm_tpu.parallel.mesh import maybe_initialize_distributed
+    if maybe_initialize_distributed():
+        print(f"jax.distributed up: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} devices")
     if getattr(args, "detect_anomaly", False):
         from gslm_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()
@@ -231,10 +237,27 @@ def training(args, *, lm_phase_hook=None):
                         training_done=iteration >= opt.iterations)
         if lm_phase_hook is not None and iteration >= jvp_start:
             # LM outer loop (train_lm.py drives it); eval/save/checkpoint
-            # below still apply (reference train_jvp.py:294-341)
-            params, aux, opt_state = lm_phase_hook(
+            # AND the densify/opacity-reset schedule below still apply
+            # (reference train_jvp.py:294-341 keeps them active), and LM
+            # iterations log to TB/progress like first-order ones
+            # (train_jvp.py:373 logs every LM iteration)
+            hook_out = lm_phase_hook(
                 scene, params, aux, opt_state, iteration, all_train, rcfg,
                 bg_default)
+            params, aux, opt_state = hook_out[:3]
+            lm_info = hook_out[3] if len(hook_out) > 3 else None
+            loss_f = float(lm_info["best_val_loss"]) if lm_info else 0.0
+            ema_loss = 0.4 * loss_f + 0.6 * ema_loss
+            progress.set_postfix({"ValLoss": f"{ema_loss:.7f}",
+                                  "P": int(np.asarray(aux.num_alive))})
+            iter_ms = iter_timer.tick()
+            if writer is not None and lm_info is not None:
+                writer.add_scalar("train_loss_patches/total_loss",
+                                  float(lm_info["start_loss"]), iteration)
+                writer.add_scalar("lm/best_val_loss", loss_f, iteration)
+                writer.add_scalar("lm/best_alpha",
+                                  float(lm_info["best_alpha"]), iteration)
+                writer.add_scalar("iter_time", iter_ms, iteration)
         else:
             if getattr(args, "sgd_batch", False) or mesh is not None:
                 # multi-view window (train_sgd path / one view per data
@@ -264,34 +287,31 @@ def training(args, *, lm_phase_hook=None):
             in_densify = iteration < opt.densify_until_iter
             dw = depth_w_fn(iteration) \
                 if train_metas[idx].depth_reliable else 0.0
-            dp_fn = get_step_fn(active_sh, in_densify)
-            if dp_fn is not None:
-                params, aux, opt_state, metrics = dp_fn(
-                    params, aux, opt_state, cam, bg, jnp.int32(iteration),
-                    jnp.float32(spatial_lr_scale), jnp.float32(dw))
-            else:
-                params, aux, opt_state, metrics = train_step(
-                    params, aux, opt_state, cam, bg, iteration,
-                    spatial_lr_scale, dw,
-                    rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
-                    use_exp=model.train_test_exp, sparse_adam=sparse,
-                    update_stats=in_densify)
 
-            # --- densification schedule (reference train.py:160-174) ---
-            if in_densify and iteration > opt.densify_from_iter \
-                    and iteration % opt.densification_interval == 0:
-                key, sub = jax.random.split(key)
-                size_thr = 20.0 if iteration > opt.opacity_reset_interval else 0.0
-                params, aux, opt_state, info = densify_and_prune(
-                    params, aux, opt_state, sub, opt.densify_grad_threshold,
-                    0.005, scene.cameras_extent, size_thr, opt.percent_dense)
-                if int(info["n_dropped"]) > 0:
-                    print(f"\n[ITER {iteration}] capacity full: dropped "
-                          f"{int(info['n_dropped'])} densification requests "
-                          f"(capacity={params.capacity})")
-            if iteration % opt.opacity_reset_interval == 0 or (
-                    model.white_background and iteration == opt.densify_from_iter):
-                params, opt_state = reset_opacity(params, opt_state)
+            # overflow recovery (reference resizes its CUDA buffers on
+            # demand; XLA capacities are static, so re-run the step from
+            # the pre-step state at doubled dup_capacity — degraded
+            # renders never reach the parameters)
+            params0, aux0, opt0 = params, aux, opt_state
+            for attempt in range(3):
+                dp_fn = get_step_fn(active_sh, in_densify)
+                if dp_fn is not None:
+                    params, aux, opt_state, metrics = dp_fn(
+                        params0, aux0, opt0, cam, bg, jnp.int32(iteration),
+                        jnp.float32(spatial_lr_scale), jnp.float32(dw))
+                else:
+                    params, aux, opt_state, metrics = train_step(
+                        params0, aux0, opt0, cam, bg, iteration,
+                        spatial_lr_scale, dw,
+                        rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
+                        use_exp=model.train_test_exp, sparse_adam=sparse,
+                        update_stats=in_densify)
+                if int(metrics["overflow"]) == 0:
+                    break
+                rcfg = rcfg.replace(dup_capacity=2 * rcfg.dup_capacity)
+                dp_cache.clear()
+                print(f"\n[ITER {iteration}] duplicate-buffer overflow: "
+                      f"retrying at dup_capacity={rcfg.dup_capacity}")
 
             loss_f = float(metrics["loss"])
             ema_loss = 0.4 * loss_f + 0.6 * ema_loss
@@ -305,6 +325,26 @@ def training(args, *, lm_phase_hook=None):
                 writer.add_scalar("train_loss_patches/l1_loss",
                                   float(metrics["l1"]), iteration)
                 writer.add_scalar("iter_time", iter_ms, iteration)
+
+        # --- densification schedule (reference train.py:160-174; stays
+        # active in the LM phase like train_jvp.py:294-341) ---
+        if iteration < opt.densify_until_iter \
+                and iteration > opt.densify_from_iter \
+                and iteration % opt.densification_interval == 0:
+            key, sub = jax.random.split(key)
+            size_thr = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+            params, aux, opt_state, info = densify_and_prune(
+                params, aux, opt_state, sub, opt.densify_grad_threshold,
+                0.005, scene.cameras_extent, size_thr, opt.percent_dense)
+            if int(info["n_dropped"]) > 0:
+                print(f"\n[ITER {iteration}] capacity full: dropped "
+                      f"{int(info['n_dropped'])} densification requests "
+                      f"(capacity={params.capacity})")
+        if iteration < opt.densify_until_iter and (
+                iteration % opt.opacity_reset_interval == 0 or (
+                    model.white_background
+                    and iteration == opt.densify_from_iter)):
+            params, opt_state = reset_opacity(params, opt_state)
 
         if iteration in test_iterations:
             stats = {"train": evaluate(params, aux,

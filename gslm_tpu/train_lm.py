@@ -234,10 +234,11 @@ def main():
 
     def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
         active_sh = min(iteration // 1000, params.sh_degree)
-        params, _ = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
-                             iteration, rng, model.train_test_exp,
-                             opt.lambda_dssim, active_sh, mesh=mesh)
-        return params, aux, opt_state
+        params, info = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
+                                iteration, rng, model.train_test_exp,
+                                opt.lambda_dssim, active_sh, mesh=mesh,
+                                verbose=not getattr(args, "quiet", False))
+        return params, aux, opt_state, info
 
     print("Optimizing " + args.model_path + f" (LM from {lm.jvp_start})")
     training(args, lm_phase_hook=hook)

@@ -14,6 +14,38 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
 
 
+def safe_state(silent: bool = False, seed: int = 0):
+    """Silence and/or timestamp stdout and seed the host RNGs (reference
+    utils/general_utils.py:123-144: every line gets a [dd/mm hh:mm:ss]
+    suffix, ``--quiet`` drops output entirely, and the global seeds are
+    fixed; JAX PRNG keys are explicit so only the host RNGs need seeding
+    here)."""
+    import random as _random
+    import sys
+    from datetime import datetime
+
+    old = sys.stdout
+
+    class _TimestampedStdout:
+        def write(self, x):
+            if silent:
+                return
+            if x.endswith("\n"):
+                stamp = datetime.now().strftime("%d/%m %H:%M:%S")
+                x = x[:-1] + f" [{stamp}]\n"
+            old.write(x)
+
+        def flush(self):
+            old.flush()
+
+        def isatty(self):
+            return old.isatty()
+
+    sys.stdout = _TimestampedStdout()
+    _random.seed(seed)
+    np.random.seed(seed)
+
+
 def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
              lr_delay_mult: float = 1.0, max_steps: int = 1000000):
     """Log-linear LR decay with optional sine-ramped delay; continuous analog
