@@ -6,15 +6,14 @@ gaussian_renderer/__init__.py:91-110), sharing stages 1-3 (duplicate →
 sort → ranges) with the XLA compositor (rasterize_tiled.py) and replacing
 stage 4 with one Pallas program per group of 16x16 tiles:
 
-- splat records (16 f32 fields) are gathered into sorted order and PACKED
-  8 records per 128-lane row, with every tile's segment padded to a row
-  multiple — each DMA chunk is a dense, fully-aligned (K/8, 128) block
-  (Mosaic requires 128-aligned minor dims, and row-aligned segments keep
-  the backward's per-tile gradient writes exclusive);
+- splat records (16 f32 fields) are gathered into sorted order and packed
+  ``config.pack`` records per 128-lane row, with every tile's segment
+  padded to a row multiple — each DMA chunk is a dense, fully-aligned
+  (K/pack, 128) block (Mosaic requires 128-aligned minor dims);
 - each program walks its segment in chunks of K records: a double-buffered
   DMA pipelines the next chunk while the current composites;
 - front-to-back compositing is closed-form: a per-row Hillis-Steele prefix
-  over the 8-record log1p(-alpha) row sums, plus a running in-row offset,
+  over the per-row log1p(-alpha) sums, plus a running in-row offset,
   gives every record's transmittance; a running (1, 256) transmittance
   carries across chunks. Pixels live as a flat 256-lane vector;
 - the CUDA early-exit (T < 1e-4) maps to the invariant "pixel frozen
@@ -30,18 +29,38 @@ saved by its forward), so no re-walk is needed; each chunk's starting
 transmittance is recovered by subtracting chunk log-sums from the carried
 prefix (always <= 0: no overflow) and the suffix accumulator
 S_i = sum_{j>i} ok_j dw_j w_j + g_T t_final carries across chunks.
+The recovered per-record transmittances agree with the forward's to f32
+rounding, not bitwise (exp/add-sub orders differ), so a threshold mask can
+in principle flip at a knife edge — bounded by one ~1/255-weight record.
 Chunks past the forward's early exit have exactly-zero gradients and are
 zero-filled without compute. Per-record gradients DMA out and scatter-add
 to Gaussians through a lane-narrowed custom VJP of the record gather.
 
+GRADIENT-WRITE INVARIANT: the backward DMAs whole K-record chunks, so a
+tile's final partial chunk writes up to K-pack zero rows into the NEXT
+tile's dfeat segment. Correctness relies on the grid dimension being
+sequential ("arbitrary" semantics, pinned via dimension_semantics below)
+and tiles processed in ascending order — the later tile then overwrites
+the spill with its own values. Do NOT mark the grid parallel (megacore)
+without first narrowing the final chunk's write.
+
 Outputs per tile are (8, 256) rows [r, g, b, invdepth, t_final, pad...];
 background blending and canvas assembly happen outside in XLA. On
 non-TPU backends tests run everything in interpreter mode.
+
+Record packing (``RasterConfig.pack`` in {1, 2, 4, 8}; the
+GSLM_RASTER_PACK env var only sets the default):
+  pack=1: one record per 128-lane row (10 of 128 floats used). Measured
+          fastest on v5e Mosaic by ~1.8x (packed lane slicing is hostile
+          to the VPU issue patterns); 8x the HBM stream/footprint.
+  pack=8: dense 16-float records, zero padding — 8x less DMA traffic and
+          HBM footprint (million-Gaussian multi-view windows), slower.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -54,22 +73,32 @@ from gslm_tpu.ops.rasterize_tiled import (RasterConfig, _cdiv,
                                           duplicate_sort_ranges)
 
 PIX = TILE * TILE          # 256 pixels per tile, flat lane layout
-# Records-per-row packing (GSLM_RASTER_PACK in {1, 2, 4, 8}):
-#   PACK=1: one record per 128-lane row (10 of 128 floats used). Fastest
-#           per-chunk compute shapes on current Mosaic (fewest vector-op
-#           issues); 8x the HBM stream/footprint.
-#   PACK=8: dense 16-float records, zero padding — 8x less DMA traffic,
-#           gather/scatter volume, and HBM footprint (needed for
-#           million-Gaussian scenes), at ~30% more VPU-issue overhead.
-import os as _os
-PACK = int(_os.environ.get("GSLM_RASTER_PACK", "1"))
-assert PACK in (1, 2, 4, 8)
-FEAT = 128 // PACK         # f32 fields per record slot (10 used)
-ROW = PACK * FEAT          # 128
 K = 128                    # records per chunk (finer gating: avg tile load ~200)
-RPC = K // PACK            # rows per chunk
 OUT_ROWS = 8               # r, g, b, invd, t_final, 3x pad
 GROUP = 8                  # tiles per program (amortizes grid overhead)
+
+DEFAULT_PACK = int(_os.environ.get("GSLM_RASTER_PACK", "1"))
+
+
+class PackSpec:
+    """Static record-packing geometry the kernels close over."""
+
+    def __init__(self, pack: int):
+        assert pack in (1, 2, 4, 8)
+        self.pack = pack
+        self.feat = 128 // pack      # f32 fields per record slot (10 used)
+        self.row = 128
+        self.rpc = K // pack         # rows per chunk
+        self.off = [k * self.feat for k in range(pack)]
+
+
+_SPECS = {p: PackSpec(p) for p in (1, 2, 4, 8)}
+
+# Backward-compatible module constants (profiling scripts import these).
+PACK = DEFAULT_PACK
+FEAT = _SPECS[PACK].feat
+ROW = 128
+RPC = _SPECS[PACK].rpc
 
 
 def strict_prefix_sum(x):
@@ -97,28 +126,26 @@ def strict_suffix_sum(x):
     return s - x
 
 
-def _sub(f, k, j, w=1):
+def _sub(ps: PackSpec, f, k, j, w=1):
     """Lane slice for field j (width w) of packed sub-record k."""
-    return f[:, PACK_OFF[k] + j:PACK_OFF[k] + j + w]
+    return f[:, ps.off[k] + j:ps.off[k] + j + w]
 
 
-PACK_OFF = [k * FEAT for k in range(PACK)]
-
-
-def _sub_geometry(f, k, px, py, rank0, count_rem):
+def _sub_geometry(ps: PackSpec, f, k, px, py, rank0, count_rem):
     """Alpha terms for packed sub-record k of a chunk.
 
-    f: (RPC, 128) packed rows. rank0: in-segment rank of the chunk's first
-    record. Returns dict of (RPC, 256) / (RPC, 1) arrays."""
-    dx = _sub(f, k, 0) - px
-    dy = _sub(f, k, 1) - py
-    power = (-0.5 * (_sub(f, k, 2) * dx * dx + _sub(f, k, 4) * dy * dy)
-             - _sub(f, k, 3) * dx * dy)
-    r_local = jax.lax.broadcasted_iota(jnp.int32, (RPC, 1), 0)
-    in_seg = (r_local * PACK + k) < (count_rem - rank0)
+    f: (rpc, 128) packed rows. rank0: in-segment rank of the chunk's first
+    record. Returns dict of (rpc, 256) / (rpc, 1) arrays."""
+    dx = _sub(ps, f, k, 0) - px
+    dy = _sub(ps, f, k, 1) - py
+    power = (-0.5 * (_sub(ps, f, k, 2) * dx * dx
+                     + _sub(ps, f, k, 4) * dy * dy)
+             - _sub(ps, f, k, 3) * dx * dy)
+    r_local = jax.lax.broadcasted_iota(jnp.int32, (ps.rpc, 1), 0)
+    in_seg = (r_local * ps.pack + k) < (count_rem - rank0)
     gate = in_seg & (power <= 0.0)
     expp = jnp.where(gate, jnp.exp(power), 0.0)
-    a_raw = _sub(f, k, 5) * expp
+    a_raw = _sub(ps, f, k, 5) * expp
     a = jnp.minimum(a_raw, ALPHA_MAX)
     contrib = a >= ALPHA_MIN
     a = jnp.where(contrib, a, 0.0)
@@ -128,21 +155,21 @@ def _sub_geometry(f, k, px, py, rank0, count_rem):
 @jax.custom_vjp
 def _gather_records(records, gid):
     """records[gid] with a lane-narrowed VJP: only fields 0:10 carry data,
-    so the backward scatter-add moves 10 lanes instead of FEAT (the XLA
-    TPU scatter cost scales with row width — measured 42 -> ~30 ms at
-    L=2M, FEAT=128)."""
+    so the backward scatter-add moves 10 lanes instead of the padded row
+    width (the XLA TPU scatter cost scales with row width — measured
+    42 -> ~30 ms at L=2M, width 128)."""
     return records[gid]
 
 
 def _gather_records_fwd(records, gid):
-    return records[gid], (gid, records.shape[0])
+    return records[gid], (gid, records.shape[0], records.shape[1])
 
 
 def _gather_records_bwd(res, dfeat):
-    gid, nrec = res
+    gid, nrec, feat_w = res
     narrow = jnp.zeros((nrec, 10), jnp.float32).at[gid].add(dfeat[:, :10])
     drec = jnp.concatenate(
-        [narrow, jnp.zeros((nrec, FEAT - 10), jnp.float32)], axis=1)
+        [narrow, jnp.zeros((nrec, feat_w - 10), jnp.float32)], axis=1)
     return drec, None
 
 
@@ -167,108 +194,115 @@ def _tile_px(starts_ref, t, lin):
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
-def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch, sem):
-    pid = pl.program_id(0)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+def _make_tile_kernel(ps: PackSpec):
+    def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch,
+                     sem):
+        pid = pl.program_id(0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
-    def one_tile(g, _):
-        t = pid * GROUP + g
-        start = starts_ref[t]         # padded record offset (PACK-aligned)
-        count = counts_ref[t]         # true record count
-        nchunks = pl.cdiv(count, K)
-        px, py = _tile_px(starts_ref, t, lin)
-        row0 = start // PACK
+        def one_tile(g, _):
+            t = pid * GROUP + g
+            start = starts_ref[t]     # padded record offset (pack-aligned)
+            count = counts_ref[t]     # true record count
+            nchunks = pl.cdiv(count, K)
+            px, py = _tile_px(starts_ref, t, lin)
+            row0 = start // ps.pack
 
-        def dma(slot, chunk):
-            return pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
-                scratch.at[slot], sem.at[slot])
+            def dma(slot, chunk):
+                return pltpu.make_async_copy(
+                    feat_hbm.at[pl.ds(row0 + chunk * ps.rpc, ps.rpc), :],
+                    scratch.at[slot], sem.at[slot])
 
-        @pl.when(nchunks > 0)
-        def _():
-            dma(0, 0).start()
-
-        def body(carry):
-            chunk, t_run, lsum_run, frozen, acc = carry
-            slot = chunk % 2
-
-            @pl.when(chunk + 1 < nchunks)
+            @pl.when(nchunks > 0)
             def _():
-                dma((chunk + 1) % 2, chunk + 1).start()
+                dma(0, 0).start()
 
-            dma(slot, chunk).wait()
-            f = scratch[slot]                              # (RPC, 128)
+            def body(carry):
+                chunk, t_run, lsum_run, frozen, acc = carry
+                slot = chunk % 2
 
-            subs = [_sub_geometry(f, k, px, py, chunk * K, count)
-                    for k in range(PACK)]
-            ls = [jnp.log1p(-s["a"]) for s in subs]
-            p_row = ls[0]
-            for k in range(1, PACK):
-                p_row = p_row + ls[k]
-            row_pref = strict_prefix_sum(p_row)            # (RPC, 256)
+                @pl.when(chunk + 1 < nchunks)
+                def _():
+                    dma((chunk + 1) % 2, chunk + 1).start()
 
-            off = jnp.zeros_like(p_row)
-            new_acc = acc
-            new_frozen = frozen
-            for k in range(PACK):
-                a = subs[k]["a"]
-                t_before = t_run * jnp.exp(row_pref + off)
-                t_after = t_before * (1.0 - a)
-                contrib = subs[k]["contrib"]
-                ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
-                w = jnp.where(ok, a * t_before, 0.0)
-                ff = (contrib & (t_after < T_EPS)
-                      & (t_before >= T_EPS)).astype(jnp.float32)
-                new_frozen = new_frozen + jnp.sum(ff * t_before, axis=0,
-                                                  keepdims=True)
-                # color/invdepth accumulation on the VPU: a (RPC,4,256)
-                # MXU matmul here is latency-bound (tiny contraction)
-                new_acc = new_acc + jnp.concatenate(
-                    [jnp.sum(w * _sub(f, k, 6 + c), axis=0, keepdims=True)
-                     for c in range(4)], axis=0)           # (4, 256)
-                off = off + ls[k]
+                dma(slot, chunk).wait()
+                f = scratch[slot]                          # (rpc, 128)
 
-            lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
-            t_run = t_run * jnp.exp(lsum_c)
-            return chunk + 1, t_run, lsum_run + lsum_c, new_frozen, new_acc
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * K, count)
+                        for k in range(ps.pack)]
+                ls = [jnp.log1p(-s["a"]) for s in subs]
+                p_row = ls[0]
+                for k in range(1, ps.pack):
+                    p_row = p_row + ls[k]
+                row_pref = strict_prefix_sum(p_row)        # (rpc, 256)
 
-        def cond(carry):
-            chunk, t_run, _, frozen, _ = carry
-            live = jnp.any((frozen <= 0.0) & (t_run >= T_EPS))
-            return (chunk < nchunks) & live
+                off = jnp.zeros_like(p_row)
+                new_acc = acc
+                new_frozen = frozen
+                for k in range(ps.pack):
+                    a = subs[k]["a"]
+                    t_before = t_run * jnp.exp(row_pref + off)
+                    t_after = t_before * (1.0 - a)
+                    contrib = subs[k]["contrib"]
+                    ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
+                    w = jnp.where(ok, a * t_before, 0.0)
+                    ff = (contrib & (t_after < T_EPS)
+                          & (t_before >= T_EPS)).astype(jnp.float32)
+                    new_frozen = new_frozen + jnp.sum(
+                        ff * t_before, axis=0, keepdims=True)
+                    # color/invdepth accumulation on the VPU: a tiny-
+                    # contraction MXU matmul here is latency-bound
+                    new_acc = new_acc + jnp.concatenate(
+                        [jnp.sum(w * _sub(ps, f, k, 6 + c), axis=0,
+                                 keepdims=True) for c in range(4)],
+                        axis=0)                            # (4, 256)
+                    off = off + ls[k]
 
-        t_run0 = jnp.ones((1, PIX), jnp.float32)
-        zero1 = jnp.zeros((1, PIX), jnp.float32)
-        acc0 = jnp.zeros((4, PIX), jnp.float32)
-        last, t_run, lsum_run, frozen, acc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_run0, zero1, zero1, acc0))
+                lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
+                t_run = t_run * jnp.exp(lsum_c)
+                return (chunk + 1, t_run, lsum_run + lsum_c, new_frozen,
+                        new_acc)
 
-        # drain the prefetched next-chunk DMA on early exit
-        @pl.when((last > 0) & (last < nchunks))
-        def _():
-            dma(last % 2, last).wait()
+            def cond(carry):
+                chunk, t_run, _, frozen, _ = carry
+                live = jnp.any((frozen <= 0.0) & (t_run >= T_EPS))
+                return (chunk < nchunks) & live
 
-        t_final = jnp.where(frozen > 0.0, frozen, t_run)
-        out_ref[g, 0:4, :] = acc
-        out_ref[g, 4:5, :] = t_final
-        # rows 5-6 feed the backward (killing its re-walk pass 1): the
-        # exact log-transmittance sum at the exit point (carried additively
-        # so the backward's recovery chain sees the same values pass 1
-        # produced) and the exit chunk index. Downstream assembly slices
-        # rows 0-4 only, so no cotangent leaks.
-        out_ref[g, 5:6, :] = lsum_run
-        out_ref[g, 6:7, :] = jnp.full((1, PIX), last.astype(jnp.float32))
-        out_ref[g, 7:8, :] = jnp.zeros((1, PIX), jnp.float32)
-        return 0
+            t_run0 = jnp.ones((1, PIX), jnp.float32)
+            zero1 = jnp.zeros((1, PIX), jnp.float32)
+            acc0 = jnp.zeros((4, PIX), jnp.float32)
+            last, t_run, lsum_run, frozen, acc = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), t_run0, zero1, zero1, acc0))
 
-    jax.lax.fori_loop(0, GROUP, one_tile, 0)
+            # drain the prefetched next-chunk DMA on early exit
+            @pl.when((last > 0) & (last < nchunks))
+            def _():
+                dma(last % 2, last).wait()
+
+            t_final = jnp.where(frozen > 0.0, frozen, t_run)
+            out_ref[g, 0:4, :] = acc
+            out_ref[g, 4:5, :] = t_final
+            # rows 5-6 feed the backward (killing its re-walk pass 1): the
+            # exact log-transmittance sum at the exit point (carried
+            # additively so the backward's recovery chain sees the same
+            # values pass 1 produced) and the exit chunk index. Downstream
+            # assembly slices rows 0-4 only, so no cotangent leaks.
+            out_ref[g, 5:6, :] = lsum_run
+            out_ref[g, 6:7, :] = jnp.full((1, PIX), last.astype(jnp.float32))
+            out_ref[g, 7:8, :] = jnp.zeros((1, PIX), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, one_tile, 0)
+
+    return _tile_kernel
 
 
 def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
-              interpret: bool):
+              interpret: bool, pack: int = DEFAULT_PACK):
     """Invoke the forward compositor; returns (n_programs*GROUP, 8, 256)."""
+    ps = _SPECS[pack]
     nt_pad = n_programs * GROUP
-    nrec = feat.shape[0] * PACK
+    nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
@@ -277,16 +311,18 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, RPC, ROW), jnp.float32),
+            pltpu.VMEM((2, ps.rpc, ps.row), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
-        _tile_kernel,
+        _make_tile_kernel(ps),
         out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=30 * nrec * PIX, bytes_accessed=nrec * FEAT * 4,
+            flops=30 * nrec * PIX, bytes_accessed=nrec * ps.feat * 4,
             transcendentals=2 * nrec * PIX),
     )(starts_plus, counts_pad, feat)
 
@@ -294,184 +330,203 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
 # ---------------------------------------------------------------------------
 # backward kernel (see module docstring for the math)
 # ---------------------------------------------------------------------------
-def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref, tiles_ref,
-                     dfeat_hbm, rscratch, gscratch, rsem, wsem):
-    pid = pl.program_id(0)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+def _make_tile_bwd_kernel(ps: PackSpec):
+    def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref,
+                         tiles_ref, dfeat_hbm, rscratch, gscratch, rsem,
+                         wsem):
+        pid = pl.program_id(0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
 
-    def one_tile(g, _):
-        t = pid * GROUP + g
-        start = starts_ref[t]
-        count = counts_ref[t]
-        nchunks = pl.cdiv(count, K)
-        px, py = _tile_px(starts_ref, t, lin)
-        row0 = start // PACK
+        def one_tile(g, _):
+            t = pid * GROUP + g
+            start = starts_ref[t]
+            count = counts_ref[t]
+            nchunks = pl.cdiv(count, K)
+            px, py = _tile_px(starts_ref, t, lin)
+            row0 = start // ps.pack
 
-        g_r = gtiles_ref[g, 0:1, :]
-        g_gg = gtiles_ref[g, 1:2, :]
-        g_b = gtiles_ref[g, 2:3, :]
-        g_i = gtiles_ref[g, 3:4, :]
-        g_T = gtiles_ref[g, 4:5, :]
+            g_r = gtiles_ref[g, 0:1, :]
+            g_gg = gtiles_ref[g, 1:2, :]
+            g_b = gtiles_ref[g, 2:3, :]
+            g_i = gtiles_ref[g, 3:4, :]
+            g_T = gtiles_ref[g, 4:5, :]
 
-        def rdma(slot, chunk):
-            return pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
-                rscratch.at[slot], rsem.at[slot])
 
-        def wdma(slot, chunk):
-            return pltpu.make_async_copy(
-                gscratch.at[slot],
-                dfeat_hbm.at[pl.ds(row0 + chunk * RPC, RPC), :],
-                wsem.at[slot])
+            def rdma(slot, chunk):
+                return pltpu.make_async_copy(
+                    feat_hbm.at[pl.ds(row0 + chunk * ps.rpc, ps.rpc), :],
+                    rscratch.at[slot], rsem.at[slot])
 
-        # ---- exit state saved by the forward (no re-walk pass needed):
-        # rows 5/6 of the primal output hold the exact log-transmittance
-        # sum at the exit point and the exit chunk index. Records in chunks
-        # past the forward's early exit have exactly-zero gradients
-        # (weights are zero and t_final is frozen before them), so the
-        # reverse walk covers [0, n_eff) and skipped chunks zero-fill.
-        lsum = tiles_ref[g, 5:6, :]
-        n_eff = jnp.max(tiles_ref[g, 6:7, :]).astype(jnp.int32)
-        t_end = jnp.exp(lsum)
+            def wdma(slot, chunk):
+                return pltpu.make_async_copy(
+                    gscratch.at[slot],
+                    dfeat_hbm.at[pl.ds(row0 + chunk * ps.rpc, ps.rpc), :],
+                    wsem.at[slot])
 
-        @pl.when(n_eff < nchunks)
-        def _():
-            gscratch[0] = jnp.zeros((RPC, ROW), jnp.float32)
+            # ---- exit state saved by the forward (no re-walk pass):
+            # rows 5/6 of the primal output hold the exact
+            # log-transmittance sum at the exit point and the exit chunk
+            # index. Records in chunks past the forward's early exit have
+            # exactly-zero gradients (weights are zero and t_final is
+            # frozen before them), so the reverse walk covers [0, n_eff)
+            # and skipped chunks zero-fill.
+            lsum = tiles_ref[g, 5:6, :]
+            n_eff = jnp.max(tiles_ref[g, 6:7, :]).astype(jnp.int32)
+            t_end = jnp.exp(lsum)
 
-            def zero_fill(c, _):
-                cp = pltpu.make_async_copy(
-                    gscratch.at[0],
-                    dfeat_hbm.at[pl.ds(row0 + c * RPC, RPC), :],
-                    wsem.at[0])
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(n_eff, nchunks, zero_fill, 0)
-
-        # ---- reverse pass: suffix accumulator + grads --------------------
-        @pl.when(n_eff > 0)
-        def _():
-            rdma((n_eff - 1) % 2, n_eff - 1).start()
-
-        def p2_body(i, carry):
-            s_acc, lsum_upto = carry
-            chunk = n_eff - 1 - i
-            slot = chunk % 2
-
-            @pl.when(chunk - 1 >= 0)
+            @pl.when(n_eff < nchunks)
             def _():
-                rdma((chunk - 1) % 2, chunk - 1).start()
+                gscratch[0] = jnp.zeros((ps.rpc, ps.row), jnp.float32)
 
-            rdma(slot, chunk).wait()
-            f = rscratch[slot]
+                def zero_fill(c, _):
+                    cp = pltpu.make_async_copy(
+                        gscratch.at[0],
+                        dfeat_hbm.at[pl.ds(row0 + c * ps.rpc, ps.rpc), :],
+                        wsem.at[0])
+                    cp.start()
+                    cp.wait()
+                    return 0
 
-            subs = [_sub_geometry(f, k, px, py, chunk * K, count)
-                    for k in range(PACK)]
-            ls = [jnp.log1p(-s["a"]) for s in subs]
-            p_row = ls[0]
-            for k in range(1, PACK):
-                p_row = p_row + ls[k]
-            lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
-            lsum_prefix = jnp.minimum(lsum_upto - lsum_c, 0.0)
-            row_pref = lsum_prefix + strict_prefix_sum(p_row)
+                jax.lax.fori_loop(n_eff, nchunks, zero_fill, 0)
 
-            # per-sub t_before / weights / dw / q terms (forward order)
-            tb, ws, dws, qs = [], [], [], []
-            off = jnp.zeros_like(p_row)
-            for k in range(PACK):
-                a = subs[k]["a"]
-                t_before = jnp.exp(row_pref + off)
-                t_after = t_before * (1.0 - a)
-                contrib = subs[k]["contrib"]
-                ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
-                w = jnp.where(ok, a * t_before, 0.0)
-                dw = (_sub(f, k, 6) * g_r + _sub(f, k, 7) * g_gg
-                      + _sub(f, k, 8) * g_b + _sub(f, k, 9) * g_i)
-                first_fail = contrib & (t_after < T_EPS) \
-                    & (t_before >= T_EPS)
-                q = jnp.where(ok, dw * w, 0.0) \
-                    + jnp.where(first_fail, g_T * t_before, 0.0)
-                tb.append(t_before)
-                ws.append(w)
-                dws.append(dw)
-                qs.append(q)
-                off = off + ls[k]
-
-            q_row = qs[0]
-            for k in range(1, PACK):
-                q_row = q_row + qs[k]
-            row_suf = strict_suffix_sum(q_row)
-
-            # suffix for sub k = carried + row suffix + later subs in row
-            gcols = []
-            tail = jnp.zeros_like(q_row)
-            for k in reversed(range(PACK)):
-                s_i = s_acc + row_suf + tail
-                a = subs[k]["a"]
-                contrib = subs[k]["contrib"]
-                pre_freeze = contrib & (tb[k] >= T_EPS)
-                ok = contrib & ((tb[k] * (1.0 - a)) >= T_EPS)
-                da = jnp.where(
-                    pre_freeze,
-                    jnp.where(ok, dws[k] * tb[k], 0.0) - s_i / (1.0 - a),
-                    0.0)
-                dpow = da * subs[k]["a_raw"]
-                dx, dy = subs[k]["dx"], subs[k]["dy"]
-                f2, f3, f4 = _sub(f, k, 2), _sub(f, k, 3), _sub(f, k, 4)
-                cols = jnp.concatenate([
-                    jnp.sum(dpow * -(f2 * dx + f3 * dy), axis=1,
-                            keepdims=True),
-                    jnp.sum(dpow * -(f4 * dy + f3 * dx), axis=1,
-                            keepdims=True),
-                    jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True),
-                    jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True),
-                    jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True),
-                    jnp.sum(da * subs[k]["expp"], axis=1, keepdims=True),
-                    jnp.sum(ws[k] * g_r, axis=1, keepdims=True),
-                    jnp.sum(ws[k] * g_gg, axis=1, keepdims=True),
-                    jnp.sum(ws[k] * g_b, axis=1, keepdims=True),
-                    jnp.sum(ws[k] * g_i, axis=1, keepdims=True),
-                    jnp.zeros((RPC, FEAT - 10), jnp.float32),
-                ], axis=1)                                 # (RPC, 16)
-                gcols.append(cols)
-                tail = tail + qs[k]
-
-            gbuf = jnp.concatenate(gcols[::-1], axis=1)    # (RPC, 128)
-
-            @pl.when(i >= 2)
+            # ---- reverse pass: suffix accumulator + grads ----------------
+            @pl.when(n_eff > 0)
             def _():
-                wdma(i % 2, chunk + 2).wait()
-            gscratch[i % 2] = gbuf
-            wdma(i % 2, chunk).start()
+                rdma((n_eff - 1) % 2, n_eff - 1).start()
 
-            s_acc = s_acc + jnp.sum(q_row, axis=0, keepdims=True)
-            return s_acc, lsum_prefix
+            def p2_body(i, carry):
+                s_acc, lsum_upto = carry
+                chunk = n_eff - 1 - i
+                slot = chunk % 2
 
-        s0 = jnp.where(t_end >= T_EPS, g_T * t_end, 0.0)
-        jax.lax.fori_loop(0, n_eff, p2_body, (s0, lsum))
+                @pl.when(chunk - 1 >= 0)
+                def _():
+                    rdma((chunk - 1) % 2, chunk - 1).start()
 
-        # drain outstanding grad writes
-        @pl.when(n_eff >= 2)
-        def _():
-            wdma(n_eff % 2, 1).wait()
+                rdma(slot, chunk).wait()
+                f = rscratch[slot]
 
-        @pl.when(n_eff >= 1)
-        def _():
-            wdma((n_eff - 1) % 2, 0).wait()
-        return 0
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * K, count)
+                        for k in range(ps.pack)]
+                ls = [jnp.log1p(-s["a"]) for s in subs]
+                p_row = ls[0]
+                for k in range(1, ps.pack):
+                    p_row = p_row + ls[k]
+                lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
+                lsum_prefix = jnp.minimum(lsum_upto - lsum_c, 0.0)
+                row_pref = lsum_prefix + strict_prefix_sum(p_row)
 
-    jax.lax.fori_loop(0, GROUP, one_tile, 0)
+                # per-sub t_before / weights / dw / q terms (forward order)
+                tb, ws, dws, qs = [], [], [], []
+                off = jnp.zeros_like(p_row)
+                for k in range(ps.pack):
+                    a = subs[k]["a"]
+                    t_before = jnp.exp(row_pref + off)
+                    t_after = t_before * (1.0 - a)
+                    contrib = subs[k]["contrib"]
+                    ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
+                    w = jnp.where(ok, a * t_before, 0.0)
+                    dw = (_sub(ps, f, k, 6) * g_r + _sub(ps, f, k, 7) * g_gg
+                          + _sub(ps, f, k, 8) * g_b
+                          + _sub(ps, f, k, 9) * g_i)
+                    first_fail = contrib & (t_after < T_EPS) \
+                        & (t_before >= T_EPS)
+                    q = jnp.where(ok, dw * w, 0.0) \
+                        + jnp.where(first_fail, g_T * t_before, 0.0)
+                    tb.append(t_before)
+                    ws.append(w)
+                    dws.append(dw)
+                    qs.append(q)
+                    off = off + ls[k]
+
+                q_row = qs[0]
+                for k in range(1, ps.pack):
+                    q_row = q_row + qs[k]
+                row_suf = strict_suffix_sum(q_row)
+
+                # suffix for sub k = carried + row suffix + later subs
+                gcols = []
+                tail = jnp.zeros_like(q_row)
+                for k in reversed(range(ps.pack)):
+                    s_i = s_acc + row_suf + tail
+                    a = subs[k]["a"]
+                    contrib = subs[k]["contrib"]
+                    pre_freeze = contrib & (tb[k] >= T_EPS)
+                    ok = contrib & ((tb[k] * (1.0 - a)) >= T_EPS)
+                    da = jnp.where(
+                        pre_freeze,
+                        jnp.where(ok, dws[k] * tb[k], 0.0) - s_i / (1.0 - a),
+                        0.0)
+                    dpow = da * subs[k]["a_raw"]
+                    # NOTE: an MXU formulation of these 10 per-record
+                    # pixel reductions (polynomial moments of dpow against
+                    # a tile-local basis + w @ G) was tried and measured
+                    # SLOWER (35 vs 30.6 ms) at both HIGHEST and manual
+                    # split-bf16 — Mosaic's small-N dot lowering pads N to
+                    # 128 per pass. Cross-lane jnp.sum stays.
+                    dx, dy = subs[k]["dx"], subs[k]["dy"]
+                    f2 = _sub(ps, f, k, 2)
+                    f3 = _sub(ps, f, k, 3)
+                    f4 = _sub(ps, f, k, 4)
+                    cols = jnp.concatenate([
+                        jnp.sum(dpow * -(f2 * dx + f3 * dy), axis=1,
+                                keepdims=True),
+                        jnp.sum(dpow * -(f4 * dy + f3 * dx), axis=1,
+                                keepdims=True),
+                        jnp.sum(dpow * (-0.5 * dx * dx), axis=1,
+                                keepdims=True),
+                        jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True),
+                        jnp.sum(dpow * (-0.5 * dy * dy), axis=1,
+                                keepdims=True),
+                        jnp.sum(da * subs[k]["expp"], axis=1,
+                                keepdims=True),
+                        jnp.sum(ws[k] * g_r, axis=1, keepdims=True),
+                        jnp.sum(ws[k] * g_gg, axis=1, keepdims=True),
+                        jnp.sum(ws[k] * g_b, axis=1, keepdims=True),
+                        jnp.sum(ws[k] * g_i, axis=1, keepdims=True),
+                        jnp.zeros((ps.rpc, ps.feat - 10), jnp.float32),
+                    ], axis=1)                             # (rpc, feat)
+                    gcols.append(cols)
+                    tail = tail + qs[k]
+
+                gbuf = jnp.concatenate(gcols[::-1], axis=1)  # (rpc, 128)
+
+                @pl.when(i >= 2)
+                def _():
+                    wdma(i % 2, chunk + 2).wait()
+                gscratch[i % 2] = gbuf
+                wdma(i % 2, chunk).start()
+
+                s_acc = s_acc + jnp.sum(q_row, axis=0, keepdims=True)
+                return s_acc, lsum_prefix
+
+            s0 = jnp.where(t_end >= T_EPS, g_T * t_end, 0.0)
+            jax.lax.fori_loop(0, n_eff, p2_body, (s0, lsum))
+
+            # drain outstanding grad writes
+            @pl.when(n_eff >= 2)
+            def _():
+                wdma(n_eff % 2, 1).wait()
+
+            @pl.when(n_eff >= 1)
+            def _():
+                wdma((n_eff - 1) % 2, 0).wait()
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, one_tile, 0)
+
+    return _tile_bwd_kernel
 
 
 def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
-              n_programs: int, interpret: bool):
+              n_programs: int, interpret: bool, pack: int = DEFAULT_PACK):
     """Invoke the backward compositor; returns dfeat with feat's shape.
 
     ``tiles`` is the saved forward output — its exit-state rows replace
     the old total-transmittance re-walk (pass 1), halving backward DMA
     and alpha recomputation."""
-    nrec = feat.shape[0] * PACK
+    ps = _SPECS[pack]
+    nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs,),
@@ -484,33 +539,35 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, RPC, ROW), jnp.float32),
-            pltpu.VMEM((2, RPC, ROW), jnp.float32),
+            pltpu.VMEM((2, ps.rpc, ps.row), jnp.float32),
+            pltpu.VMEM((2, ps.rpc, ps.row), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
-        _tile_bwd_kernel,
+        _make_tile_bwd_kernel(ps),
         out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # sequential ascending grid REQUIRED: see GRADIENT-WRITE INVARIANT
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=50 * nrec * PIX, bytes_accessed=2 * nrec * FEAT * 4,
+            flops=50 * nrec * PIX, bytes_accessed=2 * nrec * ps.feat * 4,
             transcendentals=2 * nrec * PIX),
     )(starts_plus, counts_pad, feat, gtiles, tiles)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_composite(n_programs: int, ntiles: int, interpret: bool,
-                    mode: str):
+                    mode: str, pack: int):
     """Composite-tiles function with the requested differentiation rule.
 
     mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
     mode="jvp": jax.custom_jvp via the fused tangent kernel (LM J v).
     JAX does not allow both rules on one function, so the LM operators pick
     the variant per matvec direction (solver/operators.py)."""
-    kw = dict(n_programs=n_programs, interpret=interpret)
+    kw = dict(n_programs=n_programs, interpret=interpret, pack=pack)
     if mode == "vjp":
         @jax.custom_vjp
         def comp(feat, starts_plus, counts_pad):
@@ -529,7 +586,7 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
             # where — a mask multiply would propagate NaN*0=NaN into the
             # gather's scatter-add and poison real parameter gradients
             end_rows = (starts_plus[ntiles - 1] + counts_pad[ntiles - 1]
-                        + PACK - 1) // PACK
+                        + pack - 1) // pack
             valid = jnp.arange(feat.shape[0], dtype=jnp.int32) < end_rows
             dfeat = jnp.where(valid[:, None], dfeat, 0.0)
             return dfeat, None, None
@@ -538,7 +595,7 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
         return comp
     if mode == "jvp":
         from gslm_tpu.ops.rasterize_pallas_jvp import make_jvp_composite
-        return make_jvp_composite(n_programs, interpret, _fwd_call)
+        return make_jvp_composite(n_programs, interpret, _fwd_call, pack)
     return functools.partial(_fwd_call, **kw)
 
 
@@ -554,6 +611,8 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     ``view_rows``: tile rows per view for fused multi-view batches (splat
     coordinates are view-local; tile rows wrap modulo view_rows)."""
     L = config.dup_capacity
+    pack = config.pack or DEFAULT_PACK
+    ps = _SPECS[pack]
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
     if view_rows is None:
@@ -564,18 +623,18 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         splats, ntx, nty, L)
     counts = ends - starts
 
-    # ---- pad every tile's segment to a PACK multiple and gather the
+    # ---- pad every tile's segment to a pack multiple and gather the
     # sorted records into the packed (rows, 128) stream. Pad entries point
     # at an appended all-zero record row; the kernels also gate them.
-    # With PACK=1 segments are already row-aligned — skip the remap pass.
-    if PACK == 1:
+    # With pack=1 segments are already row-aligned — skip the remap pass.
+    if pack == 1:
         poffsets = starts
         gid2 = sorted_gid
         L2 = L
     else:
-        pcounts = ((counts + PACK - 1) // PACK) * PACK
+        pcounts = ((counts + pack - 1) // pack) * pack
         poffsets = jnp.cumsum(pcounts) - pcounts
-        L2 = L + ntiles * PACK   # static: worst-case per-tile padding
+        L2 = L + ntiles * pack   # static: worst-case per-tile padding
         tile_pack = jnp.stack([
             poffsets.astype(jnp.float32), starts.astype(jnp.float32),
             counts.astype(jnp.float32),
@@ -601,19 +660,20 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         splats.opacity[:, None],            # 5
         splats.color,                       # 6:9
         splats.invdepth[:, None],           # 9
-        jnp.zeros((P, FEAT - 10), jnp.float32),
+        jnp.zeros((P, ps.feat - 10), jnp.float32),
     ], axis=1)[order]
     records = jnp.concatenate(
-        [records, jnp.zeros((1, FEAT), jnp.float32)], axis=0)
+        [records, jnp.zeros((1, ps.feat), jnp.float32)], axis=0)
     # the custom_vjp gather has no JVP rule — forward mode takes the plain
     # gather (its JVP is another gather, already cheap)
     if mode == "jvp":
-        feat = records[gid2]                              # (L2, FEAT)
+        feat = records[gid2]                              # (L2, feat)
     else:
         feat = _gather_records(records, gid2)
     # extra K pad records absorb the final chunk over-read
-    feat = jnp.concatenate([feat, jnp.zeros((K, FEAT), jnp.float32)], axis=0)
-    feat = feat.reshape((L2 + K) // PACK, ROW)
+    feat = jnp.concatenate(
+        [feat, jnp.zeros((K, ps.feat), jnp.float32)], axis=0)
+    feat = feat.reshape((L2 + K) // pack, ps.row)
 
     # pad the tile axis to a GROUP multiple (count 0 => tile renders bg),
     # and stash ntx after the starts so the kernel can derive tile coords
@@ -626,7 +686,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     counts_pad = jnp.concatenate(
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 
-    comp = _make_composite(n_programs, ntiles, interpret, mode)
+    comp = _make_composite(n_programs, ntiles, interpret, mode, pack)
     tiles = comp(feat, starts_plus, counts_pad)
     tiles = tiles[:ntiles]
 

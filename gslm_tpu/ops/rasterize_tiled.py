@@ -41,7 +41,7 @@ from gslm_tpu.struct import pytree_dataclass
 
 
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
-                                 "antialiasing", "impl"))
+                                 "antialiasing", "impl", "pack"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -49,6 +49,11 @@ class RasterConfig:
     "tiled" (XLA), "pallas" (TPU kernel, custom-VJP), "pallas_jvp" (TPU
     kernel, custom-JVP — for forward-mode LM matvecs), "auto" (pallas on
     TPU, tiled elsewhere), "ref" (dense golden rasterizer).
+
+    ``pack`` (0 = env default GSLM_RASTER_PACK, else 1/2/4/8): records per
+    128-lane row in the Pallas record stream. 1 is fastest on v5e
+    (measured ~1.8x over 2/4); 8 costs VPU issue overhead but shrinks the
+    HBM stream/footprint 8x for million-Gaussian multi-view windows.
     """
 
     dup_capacity: int = 1 << 18     # total (gaussian, tile) entries
@@ -56,6 +61,7 @@ class RasterConfig:
     tile_chunk: int = 32            # tiles per lax.map step
     antialiasing: bool = False
     impl: str = "tiled"
+    pack: int = 0
 
 
 def _cdiv(a: int, b: int) -> int:

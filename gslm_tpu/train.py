@@ -271,12 +271,21 @@ def training(args, *, lm_phase_hook=None):
                 win = select_window(len(train_metas), n_views, np_rng)
                 idx = win[0]
                 cam = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
+                # per-view depth gating: zero unreliable views' depth
+                # masks instead of gating the whole window on win[0]
+                rel = np.array([train_metas[i].depth_reliable for i in win],
+                               np.float32)
+                depth_ok = bool(rel.any())
+                if not rel.all():
+                    cam = cam.replace(depth_mask=cam.depth_mask *
+                                      jnp.asarray(rel)[:, None, None, None])
             else:
                 if not indices:
                     indices = list(range(len(train_metas)))
                     random.shuffle(indices)
                 idx = indices.pop()
                 cam = jax.tree.map(lambda x: x[idx:idx + 1], all_train)
+                depth_ok = train_metas[idx].depth_reliable
 
             if opt.random_background:
                 key, sub = jax.random.split(key)
@@ -285,8 +294,7 @@ def training(args, *, lm_phase_hook=None):
                 bg = bg_default
 
             in_densify = iteration < opt.densify_until_iter
-            dw = depth_w_fn(iteration) \
-                if train_metas[idx].depth_reliable else 0.0
+            dw = depth_w_fn(iteration) if depth_ok else 0.0
 
             # overflow recovery (reference resizes its CUDA buffers on
             # demand; XLA capacities are static, so re-run the step from
