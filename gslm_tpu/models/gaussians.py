@@ -232,6 +232,22 @@ def vdot(a: GaussianParams, b: GaussianParams,
     return total
 
 
+def vdot_sharded(a: GaussianParams, b: GaussianParams,
+                 damp: dict[str, float] | float, model_axis: str):
+    """vdot for model-sharded vectors inside shard_map: per-Gaussian
+    groups hold local shards (psum over the model axis), ``exposure`` is
+    replicated (counted once)."""
+    local = jnp.zeros((), dtype=jnp.float32)
+    for g in PARAM_GROUPS:
+        if g == "exposure":
+            continue
+        w = damp[g] if isinstance(damp, dict) else damp
+        local = local + w * jnp.vdot(getattr(a, g), getattr(b, g))
+    total = jax.lax.psum(local, model_axis)
+    w = damp["exposure"] if isinstance(damp, dict) else damp
+    return total + w * jnp.vdot(a.exposure, b.exposure)
+
+
 def saxpy(a, x: GaussianParams, y: GaussianParams) -> GaussianParams:
     """a*x + y elementwise over all groups."""
     return jax.tree.map(lambda xi, yi: a * xi + yi, x, y)

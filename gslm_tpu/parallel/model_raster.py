@@ -249,6 +249,119 @@ def mp_scalar_training_loss(params_local: GaussianParams,
     return loss_local, info
 
 
+def mp_batch_residuals(params_local: GaussianParams, cameras: CameraBatch,
+                       bg: jnp.ndarray, *, config: RasterConfig,
+                       n_model: int, lambda_dssim: float = 0.2,
+                       disable_ssim: bool = False,
+                       use_trained_exp: bool = False,
+                       active_sh_degree: int | None = None,
+                       alive_local: jnp.ndarray | None = None,
+                       model_axis: str = "model", impl: str | None = None):
+    """Band-local residual vector from model-sharded parameters: each
+    device's ResidualState holds its tile-row band of every view, so the
+    distributed residual is exactly the single-device one re-laid-out
+    (solver/residuals.py weighting contract; the squared-norm psums over
+    ("data", model_axis) happen in the LM operators, NOT here — no psum
+    may sit inside the differentiated region, see mp_scalar_training_loss).
+    """
+    from gslm_tpu.solver.residuals import ResidualState
+
+    H = cameras.height
+    image, invd, radii_local, diags = mp_render_views(
+        params_local, cameras, bg, config=config, n_model=n_model,
+        model_axis=model_axis, active_sh_degree=active_sh_degree,
+        use_trained_exp=use_trained_exp, alive_local=alive_local, impl=impl)
+
+    bh_px = band_rows(H, n_model) * TILE
+    m = jax.lax.axis_index(model_axis)
+    row_in_canvas = (m * bh_px + jnp.arange(bh_px)) < H
+    amask = band_slice(cameras.alpha_mask, H, n_model, model_axis)
+    image = image * amask * row_in_canvas[:, None].astype(image.dtype)
+    gt = band_slice(cameras.gt_image, H, n_model, model_axis)
+    valid = band_slice(cameras.pixel_valid(), H, n_model, model_axis)
+
+    if disable_ssim:
+        r = (image - gt) * valid
+        return ResidualState(l1=r, ssim=r)
+
+    from gslm_tpu.ops.ssim import ssim_map
+    n = 3.0 * cameras.heights.astype(jnp.float32) \
+        * cameras.widths.astype(jnp.float32)
+    w_l1 = jnp.sqrt((1.0 - lambda_dssim) / n)[:, None, None, None]
+    w_ssim = jnp.sqrt(lambda_dssim / n)[:, None, None, None]
+    halo = 5
+    ext1 = halo_exchange_rows(image, halo, n_model, model_axis)
+    ext2 = halo_exchange_rows(gt, halo, n_model, model_axis)
+    smap = ssim_map(ext1, ext2)[..., halo:-halo, :]
+    r_l1 = w_l1 * jnp.sqrt(jnp.abs(image - gt) + 1e-6) * valid
+    r_ssim = w_ssim * jnp.sqrt(jnp.abs(1.0 - smap) + 1e-6) * valid
+    return ResidualState(l1=r_l1, ssim=r_ssim)
+
+
+def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
+                     val: CameraBatch, bg, *, rcfg: RasterConfig, lm,
+                     active_sh_degree: int, use_exp: bool, n_model: int,
+                     lambda_dssim: float = 0.2, data_axis: str = "data",
+                     model_axis: str = "model"):
+    """Model-parallel LM outer step body (run inside shard_map over
+    (data, model)): Gaussians sharded, residuals band+view sharded, the
+    whole CGLS recurrence and line search distributed — parameter dots
+    psum over the model axis, residual dots over both axes, Jᵀ·u
+    owner-resident via the all_gather transpose (train_lm.lm_outer_step
+    anatomy, reference train_jvp.py:221-288)."""
+    from gslm_tpu.models import gaussians as G
+    from gslm_tpu.renderer import resolve_impl
+    from gslm_tpu.solver.cg import cgls_damped_unrolled
+    from gslm_tpu.solver.operators import LMOperators
+
+    def res_of(cfg):
+        def f(p):
+            return mp_batch_residuals(
+                p, window, bg, config=cfg, n_model=n_model,
+                lambda_dssim=lambda_dssim, disable_ssim=lm.disable_ssim,
+                use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
+                alive_local=alive_local, model_axis=model_axis)
+        return f
+
+    residual_fn = res_of(rcfg)
+    residual_fn_jvp = None
+    if resolve_impl(rcfg.impl) == "pallas":
+        residual_fn_jvp = res_of(rcfg.replace(impl="pallas_jvp"))
+
+    def val_loss(p):
+        r = mp_batch_residuals(
+            p, val, bg, config=rcfg, n_model=n_model,
+            lambda_dssim=lambda_dssim, disable_ssim=lm.disable_ssim,
+            use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
+            alive_local=alive_local, model_axis=model_axis)
+        return jax.lax.psum(r.loss_scalar, (data_axis, model_axis))
+
+    group_mask = G.param_group_mask(mask_xyz=lm.mask_xyz)
+    ops = LMOperators(residual_fn, params_local, group_mask=group_mask,
+                      alive=alive_local, residual_fn_jvp=residual_fn_jvp,
+                      axis_name=data_axis, param_axis=model_axis)
+    start_loss = ops.loss_scalar
+
+    b = jax.tree.map(jnp.negative, ops.residual)
+    damp = lm.damp_dict()
+    s = cgls_damped_unrolled(
+        ops.matvec, ops.matvec_T, ops.dot, ops.saxpy,
+        LMOperators.dampmul_for(damp), b, ops.get_initial_solution(), damp,
+        max_iter=lm.cg_max_iter, restart_iter=lm.cg_restart_iter,
+        check_divergence=lm.check_divergence)
+
+    alphas = jnp.asarray([lm.line_search_alpha0 * (0.5 ** i)
+                          for i in range(lm.line_search_steps + 1)])
+    losses = jax.lax.map(lambda a: val_loss(G.saxpy(a, s, params_local)),
+                         alphas)
+    best = jnp.argmin(losses)
+    best_alpha = alphas[best]
+    new_params = G.saxpy(best_alpha, s, params_local)
+    info = {"start_loss": start_loss, "val_losses": losses,
+            "best_alpha": best_alpha, "best_val_loss": losses[best]}
+    return new_params, info
+
+
 def band_slice(x: jnp.ndarray, height: int, n_model: int, model_axis: str,
                fill: float = 0.0):
     """Slice this device's tile-row band out of per-view images

@@ -250,6 +250,37 @@ def make_mp_train_step(mesh, params, opt_state, *, rcfg, opt,
     return jax.jit(mapped)
 
 
+def make_mp_lm_step(mesh, params, *, rcfg, lm, active_sh_degree, use_exp,
+                    lambda_dssim=0.2):
+    """Model-parallel LM outer step via shard_map over ("data", "model"):
+    Gaussians sharded (never replicated), the LM window and validation
+    views sharded over "data", every device compositing only its tile-row
+    band. CGLS runs fully distributed (model_raster.mp_lm_outer_step).
+    ``params`` is a concrete example for the spec pytree."""
+    import jax.numpy as jnp  # noqa: F401  (kept for symmetry)
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.optim import init_adam
+    from gslm_tpu.parallel.model_raster import mp_lm_outer_step
+
+    n_model = mesh.shape["model"]
+    p_spec, a_spec, _ = _mp_specs(mesh, params, init_adam(params))
+    alive_spec = a_spec.alive
+
+    def step_fn(params_l, alive_l, window, val, bg):
+        return mp_lm_outer_step(
+            params_l, alive_l, window, val, bg, rcfg=rcfg, lm=lm,
+            active_sh_degree=active_sh_degree, use_exp=use_exp,
+            n_model=n_model, lambda_dssim=lambda_dssim)
+
+    rep = P()
+    mapped = _shard_map(step_fn, mesh,
+                        in_specs=(p_spec, alive_spec, P("data"), P("data"),
+                                  rep),
+                        out_specs=(p_spec, rep))
+    return jax.jit(mapped)
+
+
 def make_dp_lm_step(mesh, *, rcfg, lm, active_sh_degree, use_exp,
                     lambda_dssim=0.2):
     """Data-parallel LM outer step via shard_map: the LM view window and

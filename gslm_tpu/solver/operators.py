@@ -54,7 +54,8 @@ class LMOperators:
                  alive: jnp.ndarray | None = None,
                  reuse_linearization: bool = True,
                  residual_fn_jvp: Callable | None = None,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None,
+                 param_axis: str | None = None):
         """``residual_fn_jvp``: optional forward-mode-capable variant of
         ``residual_fn`` (same primal). Needed when residual_fn renders
         through a custom-VJP Pallas kernel — JAX allows only one custom
@@ -62,13 +63,22 @@ class LMOperators:
         (renderer impl="pallas_jvp") while Jᵀ·u uses the custom-VJP one.
 
         ``axis_name``: set when running inside shard_map with the residual
-        (view) axis sharded across devices — residual-space dots and Jᵀ·u
-        partials then psum over that axis (params stay replicated)."""
+        axis sharded across devices (a view axis, a tile-band axis, or a
+        tuple of both) — residual-space dots and Jᵀ·u partials then psum
+        over it.
+
+        ``param_axis``: set when the per-Gaussian parameter groups are
+        ALSO sharded (model parallelism): param-space dots psum local
+        shard products over this axis (exposure stays replicated), and
+        Jᵀ·u additionally psums the replicated exposure cotangent over it
+        (the per-Gaussian cotangents are already owner-resident through
+        the all_gather transpose)."""
         self.residual_fn = residual_fn
         self.residual_fn_jvp = residual_fn_jvp or residual_fn
         self.params = params
         self._mask = _mask_fn(group_mask, alive)
         self.axis_name = axis_name
+        self.param_axis = param_axis
         self.reuse_linearization = reuse_linearization
         if reuse_linearization:
             self.residual, self._vjp_fn = jax.vjp(residual_fn, params)
@@ -77,16 +87,22 @@ class LMOperators:
             self._vjp_fn = None
         # bind collective-aware vector algebra (the static methods stay
         # for the single-device path)
-        if axis_name is not None:
-            self.dot = functools.partial(self._dot_axis, axis_name)
+        if axis_name is not None or param_axis is not None:
+            self.dot = functools.partial(self._dot_axis, axis_name,
+                                         param_axis)
             self.saxpy = LMOperators.saxpy
 
     @staticmethod
-    def _dot_axis(axis_name, a, b, damp=1.0):
+    def _dot_axis(axis_name, param_axis, a, b, damp=1.0):
         if isinstance(a, ResidualState):
             assert damp == 1.0 or not isinstance(damp, dict)
             local = res_dot(a, b) * (1.0 if damp == 1.0 else damp)
-            return jax.lax.psum(local, axis_name)
+            # residuals shard over the view axis AND (in model-parallel
+            # mode) the tile-band axis — reduce over every axis present
+            axes = tuple(x for x in (axis_name, param_axis) if x)
+            return jax.lax.psum(local, axes) if axes else local
+        if param_axis is not None:
+            return G.vdot_sharded(a, b, damp, param_axis)
         return G.vdot(a, b, damp)   # params replicated: no collective
 
     # -- operator protocol (reference solver_functions.py:83-138) --------
@@ -98,13 +114,20 @@ class LMOperators:
 
     def matvec_T(self, u: ResidualState) -> GaussianParams:
         """Jᵀ·u via reverse-mode (psum of per-shard partials when the view
-        axis is sharded)."""
+        axis is sharded; with model-sharded params only the replicated
+        exposure leaf needs the param-axis reduction)."""
         if self._vjp_fn is not None:
             (g,) = self._vjp_fn(u)
         else:
             _, vjp_fn = jax.vjp(self.residual_fn, self.params)
             (g,) = vjp_fn(u)
+        if self.param_axis is not None:
+            g = g.replace(exposure=jax.lax.psum(g.exposure, self.param_axis))
         if self.axis_name is not None:
+            # data-axis views differ per shard: sum partials. NOTE with a
+            # tuple axis_name that includes the param_axis this would
+            # wrongly multiply per-Gaussian cotangents — callers pass only
+            # the data axis here and the tuple only where residuals live.
             g = jax.lax.psum(g, self.axis_name)
         return self._mask(g)
 
@@ -113,8 +136,9 @@ class LMOperators:
 
     @property
     def loss_scalar(self):
-        if self.axis_name is not None:
-            return jax.lax.psum(self.residual.loss_scalar, self.axis_name)
+        axes = tuple(x for x in (self.axis_name, self.param_axis) if x)
+        if axes:
+            return jax.lax.psum(self.residual.loss_scalar, axes)
         return self.residual.loss_scalar
 
     # -- generalized vector algebra, dispatching on space -----------------

@@ -224,3 +224,79 @@ def test_dp_shard_map_lm_step_matches_single(tiny):
                        float(ref_info["best_val_loss"]), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_p.xyz), np.asarray(ref_p.xyz),
                                atol=1e-5)
+
+
+def test_mp_lm_step_matches_single(tiny):
+    """Model-parallel LM outer step (Gaussians sharded, banded residuals,
+    distributed CGLS) vs the single-device step."""
+    params, aux, cams = tiny
+    bg = jnp.zeros(3)
+    lm = cfg_mod.LMParams(cg_max_iter=1, cg_restart_iter=1,
+                          line_search_steps=2, num_val_views=4)
+    kw = dict(rcfg=RCFG, lm=lm, active_sh_degree=3, use_exp=False)
+
+    ref_p, ref_info = lm_outer_step(params, aux.alive, cams, cams, bg, **kw)
+
+    from gslm_tpu.parallel import make_mp_lm_step
+    mesh = make_mesh(2, 2)
+    lm_fn = make_mp_lm_step(mesh, params, **kw)
+    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg)
+    assert np.allclose(float(got_info["best_val_loss"]),
+                       float(ref_info["best_val_loss"]), rtol=1e-4), (
+        float(got_info["best_val_loss"]), float(ref_info["best_val_loss"]))
+    np.testing.assert_allclose(np.asarray(got_p.xyz), np.asarray(ref_p.xyz),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p.scaling),
+                               np.asarray(ref_p.scaling), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p.exposure),
+                               np.asarray(ref_p.exposure), atol=1e-5)
+
+
+def test_mp_densify_on_model_sharded_state(tiny):
+    """densify_and_prune is per-row/shape-stable, so it runs unchanged on
+    a model shard inside shard_map: clone/split/prune decisions are
+    identical to single-device (slot ALLOCATION is shard-local, which only
+    permutes rows — rendering is slot-permutation invariant)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.densify import densify_and_prune
+    from gslm_tpu.parallel.steps import _mp_specs
+
+    params, aux, cams = tiny
+    opt_state = init_adam(params)
+    # deterministic densification stats: every 5th gaussian is hot
+    C = params.capacity
+    accum = np.zeros(C, np.float32)
+    accum[::5] = 1.0
+    denom = np.ones(C, np.float32)
+    aux = aux.replace(xyz_gradient_accum=jnp.asarray(accum),
+                      denom=jnp.asarray(denom))
+    argsv = (jnp.float32(0.5), jnp.float32(0.005), jnp.float32(1.0),
+             jnp.float32(0.0), jnp.float32(0.01))
+
+    _, ref_aux2, _, ref_info = densify_and_prune(
+        params, aux, opt_state, jax.random.PRNGKey(0), *argsv)
+
+    mesh = make_mesh(2, 2)
+    p_spec, a_spec, o_spec = _mp_specs(mesh, params, opt_state)
+
+    def body(p_l, a_l, o_l, key):
+        p2, a2, o2, info = densify_and_prune.__wrapped__(
+            p_l, a_l, o_l, key, *argsv)
+        totals = {k: jax.lax.psum(v, "model") for k, v in info.items()}
+        return p2, a2, o2, totals
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(p_spec, a_spec, o_spec, P()),
+        out_specs=(p_spec, a_spec, o_spec, P()), check_rep=False))
+    p2, a2, o2, info = fn(params, aux, opt_state, jax.random.PRNGKey(0))
+
+    for k in ("n_cloned", "n_split", "n_pruned", "n_alive", "n_dropped"):
+        assert int(info[k]) == int(ref_info[k]), (
+            k, int(info[k]), int(ref_info[k]))
+    # sharded-densified state renders fine
+    from gslm_tpu.renderer import batch_render
+    out = batch_render(p2, cams, jnp.zeros(3), config=RCFG, alive=a2.alive)
+    assert bool(jnp.all(jnp.isfinite(out.render)))
