@@ -73,7 +73,7 @@ from gslm_tpu.ops.rasterize_tiled import (RasterConfig, _cdiv,
                                           duplicate_sort_ranges)
 
 PIX = TILE * TILE          # 256 pixels per tile, flat lane layout
-K = 128                    # records per chunk (finer gating: avg tile load ~200)
+K = int(_os.environ.get("GSLM_RASTER_K", "128"))   # records per chunk
 OUT_ROWS = 8               # r, g, b, invd, t_final, 3x pad
 GROUP = 8                  # tiles per program (amortizes grid overhead)
 

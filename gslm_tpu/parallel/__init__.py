@@ -23,7 +23,8 @@ from gslm_tpu.parallel.mesh import (adam_sharding, aux_sharding,
                                     maybe_initialize_distributed,
                                     params_sharding, replicated, shard_state)
 from gslm_tpu.parallel.steps import (make_dp_lm_step, make_dp_train_step,
-                                     make_mp_lm_step, make_mp_train_step,
+                                     make_mp_densify, make_mp_lm_step,
+                                     make_mp_train_step,
                                      make_sharded_lm_step,
                                      make_sharded_train_step)
 
@@ -33,5 +34,5 @@ __all__ = [
     "maybe_initialize_distributed",
     "make_sharded_train_step", "make_sharded_lm_step",
     "make_dp_train_step", "make_dp_lm_step", "make_mp_train_step",
-    "make_mp_lm_step",
+    "make_mp_lm_step", "make_mp_densify",
 ]

@@ -362,6 +362,115 @@ def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
     return new_params, info
 
 
+def mp_rebalance(params_l, aux_l, opt_l, *, n_model: int,
+                 donate_cap: int = 256, model_axis: str = "model"):
+    """Rebalance alive Gaussians across model shards after densification.
+
+    Clone/split allocate slots shard-locally, so shards drift apart and a
+    full shard starts dropping densification requests while others have
+    room. This moves up to ``donate_cap`` rows per shard from overfull
+    (> ceil(total/M) alive) to underfull shards in one collective round:
+
+      1. all_gather per-shard alive counts; donors pick their
+         highest-index alive rows (up to their excess), assign them
+         donor-major global ordinals;
+      2. one all_gather ships the donated parameter + Adam-moment rows
+         (optimizer state travels with the row — the reference's
+         optimizer surgery, gaussian_model.py:439-497, as gather/scatter);
+      3. receivers claim disjoint ordinal ranges (prefix sums of the
+         deficits — deterministic, no negotiation) and scatter the rows
+         into their lowest free slots; donors kill exactly the claimed
+         ordinals (the union of claim ranges is [0, total_claims)).
+
+    Rendering is slot/shard-permutation invariant, so the model is
+    unchanged up to depth-sort tie order. Densification stats of moved
+    rows reset (they are per-slot accumulators).
+
+    Run inside shard_map over the model axis (all state model-sharded);
+    returns (params_l, aux_l, opt_l, moved int32).
+    """
+    from gslm_tpu.densify import PER_GAUSSIAN
+
+    Cl = params_l.xyz.shape[0]
+    donate_cap = min(donate_cap, Cl)
+    iota = jnp.arange(Cl, dtype=jnp.int32)
+    cap_iota = jnp.arange(donate_cap, dtype=jnp.int32)
+    alive = aux_l.alive
+    m = jax.lax.axis_index(model_axis)
+
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    counts = jax.lax.all_gather(n_alive, model_axis)       # (M,)
+    total = jnp.sum(counts)
+    target = (total + n_model - 1) // n_model
+    excess = jnp.maximum(counts - target, 0)
+    donate = jnp.minimum(excess, donate_cap)
+    free = Cl - counts
+    deficit = jnp.minimum(jnp.minimum(jnp.maximum(target - counts, 0),
+                                      free), donate_cap)
+    n_donations = jnp.sum(donate)
+    total_claims = jnp.minimum(jnp.sum(deficit), n_donations)
+
+    # --- donor side ----------------------------------------------------
+    my_donate = donate[m]
+    donor_rows = jnp.argsort(
+        -jnp.where(alive, iota, -1))[:donate_cap].astype(jnp.int32)
+    donor_base = jnp.cumsum(donate)[m] - donate[m]
+    donor_ord = donor_base + cap_iota
+    donor_claimed = (cap_iota < my_donate) & (donor_ord < total_claims)
+
+    buf = {}
+    for g in PER_GAUSSIAN:
+        buf[g] = getattr(params_l, g)[donor_rows]
+        buf[f"mu_{g}"] = getattr(opt_l.mu, g)[donor_rows]
+        buf[f"nu_{g}"] = getattr(opt_l.nu, g)[donor_rows]
+    gathered = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, model_axis), buf)  # (M, cap, ...)
+    flat = jax.tree.map(
+        lambda x: x.reshape((n_model * donate_cap,) + x.shape[2:]),
+        gathered)
+
+    # ordinal -> flattened-donation index (donor-major; invalid sort last)
+    base_all = jnp.cumsum(donate) - donate                 # (M,)
+    ord_flat = (base_all[:, None] + cap_iota[None, :]).reshape(-1)
+    valid_flat = (cap_iota[None, :] < donate[:, None]).reshape(-1)
+    big = jnp.int32(n_model * donate_cap)
+    perm = jnp.argsort(jnp.where(valid_flat, ord_flat, big)).astype(jnp.int32)
+
+    # --- receiver side -------------------------------------------------
+    claim_base = jnp.cumsum(deficit)[m] - deficit[m]
+    my_claim = jnp.clip(total_claims - claim_base, 0, deficit[m])
+    want = claim_base + cap_iota
+    src = perm[jnp.clip(want, 0, big - 1)]
+    take = cap_iota < my_claim
+    dst = jnp.argsort(jnp.where(~alive, iota, Cl))[:donate_cap]
+    dst = jnp.where(take, dst, Cl).astype(jnp.int32)       # Cl -> dropped
+
+    new_p, new_mu, new_nu = {}, {}, {}
+    for g in PER_GAUSSIAN:
+        new_p[g] = getattr(params_l, g).at[dst].set(
+            flat[g][src], mode="drop")
+        new_mu[g] = getattr(opt_l.mu, g).at[dst].set(
+            flat[f"mu_{g}"][src], mode="drop")
+        new_nu[g] = getattr(opt_l.nu, g).at[dst].set(
+            flat[f"nu_{g}"][src], mode="drop")
+    params_l = params_l.replace(**new_p)
+    opt_l = opt_l.replace(mu=opt_l.mu.replace(**new_mu),
+                          nu=opt_l.nu.replace(**new_nu))
+
+    kill = jnp.where(donor_claimed, donor_rows, Cl)
+    alive = alive.at[dst].set(True, mode="drop")
+    alive = alive.at[kill].set(False, mode="drop")
+    zero_dst = jnp.zeros((donate_cap,), jnp.float32)
+    aux_l = aux_l.replace(
+        alive=alive,
+        max_radii2d=aux_l.max_radii2d.at[dst].set(zero_dst, mode="drop"),
+        xyz_gradient_accum=aux_l.xyz_gradient_accum.at[dst].set(
+            zero_dst, mode="drop"),
+        denom=aux_l.denom.at[dst].set(zero_dst, mode="drop"))
+    moved = jnp.sum(take.astype(jnp.int32))
+    return params_l, aux_l, opt_l, moved
+
+
 def band_slice(x: jnp.ndarray, height: int, n_model: int, model_axis: str,
                fill: float = 0.0):
     """Slice this device's tile-row band out of per-view images

@@ -281,6 +281,46 @@ def make_mp_lm_step(mesh, params, *, rcfg, lm, active_sh_degree, use_exp,
     return jax.jit(mapped)
 
 
+def make_mp_densify(mesh, params, opt_state, *, donate_cap=256,
+                    rebalance=True):
+    """Densification + optional cross-shard rebalance on model-sharded
+    state: densify_and_prune runs unchanged per shard (it is per-row and
+    shape-stable), then mp_rebalance moves alive rows from full shards to
+    free ones so no shard starts dropping requests while others have room
+    (reference seam: the one-GPU resident P axis, gaussian_model.py:
+    439-559). Returns step(params, aux, opt, key, *thresholds) ->
+    (params, aux, opt, info) with info counts psum'd over the mesh."""
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.densify import densify_and_prune
+    from gslm_tpu.parallel.model_raster import mp_rebalance
+
+    n_model = mesh.shape["model"]
+    p_spec, a_spec, o_spec = _mp_specs(mesh, params, opt_state)
+
+    def body(p_l, a_l, o_l, key, max_grad, min_op, extent, max_screen,
+             pct_dense):
+        key = jax.random.fold_in(key, jax.lax.axis_index("model"))
+        p_l, a_l, o_l, info = densify_and_prune.__wrapped__(
+            p_l, a_l, o_l, key, max_grad, min_op, extent, max_screen,
+            pct_dense)
+        moved = jnp.int32(0)
+        if rebalance and n_model > 1:
+            p_l, a_l, o_l, moved = mp_rebalance(
+                p_l, a_l, o_l, n_model=n_model, donate_cap=donate_cap)
+        info = {k: jax.lax.psum(v, "model") for k, v in info.items()}
+        info["n_rebalanced"] = jax.lax.psum(moved, "model")
+        return p_l, a_l, o_l, info
+
+    rep = P()
+    mapped = _shard_map(
+        body, mesh,
+        in_specs=(p_spec, a_spec, o_spec, rep, rep, rep, rep, rep, rep),
+        out_specs=(p_spec, a_spec, o_spec, rep))
+    return jax.jit(mapped)
+
+
 def make_dp_lm_step(mesh, *, rcfg, lm, active_sh_degree, use_exp,
                     lambda_dssim=0.2):
     """Data-parallel LM outer step via shard_map: the LM view window and

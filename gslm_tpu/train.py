@@ -151,26 +151,43 @@ def training(args, *, lm_phase_hook=None):
     rcfg = make_raster_config(tpu, pipe, all_train.height, all_train.width,
                               params.capacity)
 
-    # --- multi-chip: shard_map data-parallel steps over a device mesh ----
+    # --- multi-chip: shard_map steps over a device mesh ------------------
+    # mesh_model == 1: data-parallel (params replicated, views sharded).
+    # mesh_model > 1: model-parallel raster (Gaussians sharded over
+    # "model", tile-row bands per shard, shard-local densify + cross-shard
+    # rebalance — parallel/model_raster.py).
     mesh = None
+    mp_mode = False
     dp_cache: dict = {}
+    mp_densify_fn = None
     if tpu.mesh_data * tpu.mesh_model > 1:
         from gslm_tpu.parallel import make_mesh
         mesh = make_mesh(tpu.mesh_data, tpu.mesh_model)
-        print(f"Data-parallel training over mesh {dict(mesh.shape)} "
-              f"({tpu.mesh_data} views/step)")
+        mp_mode = tpu.mesh_model > 1
+        if mp_mode:
+            assert params.capacity % tpu.mesh_model == 0, \
+                (params.capacity, tpu.mesh_model)
+            from gslm_tpu.parallel import make_mp_densify
+            mp_densify_fn = make_mp_densify(mesh, params, opt_state)
+        print(f"{'Model' if mp_mode else 'Data'}-parallel training over "
+              f"mesh {dict(mesh.shape)} ({tpu.mesh_data} views/step)")
 
     def get_step_fn(active_sh: int, update_stats: bool):
         if mesh is None:
             return None
         key = (active_sh, update_stats)
         if key not in dp_cache:
-            from gslm_tpu.parallel import make_dp_train_step
-            dp_cache[key] = make_dp_train_step(
-                mesh, rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
-                use_exp=model.train_test_exp,
-                sparse_adam=opt.optimizer_type == "sparse_adam",
-                update_stats=update_stats)
+            kw = dict(rcfg=rcfg, opt=opt, active_sh_degree=active_sh,
+                      use_exp=model.train_test_exp,
+                      sparse_adam=opt.optimizer_type == "sparse_adam",
+                      update_stats=update_stats)
+            if mp_mode:
+                from gslm_tpu.parallel import make_mp_train_step
+                dp_cache[key] = make_mp_train_step(mesh, params, opt_state,
+                                                   **kw)
+            else:
+                from gslm_tpu.parallel import make_dp_train_step
+                dp_cache[key] = make_dp_train_step(mesh, **kw)
         return dp_cache[key]
     bg_default = jnp.ones(3) if model.white_background else jnp.zeros(3)
     depth_w_fn = get_expon_lr_func(opt.depth_l1_weight_init,
@@ -341,7 +358,8 @@ def training(args, *, lm_phase_hook=None):
                 and iteration % opt.densification_interval == 0:
             key, sub = jax.random.split(key)
             size_thr = 20.0 if iteration > opt.opacity_reset_interval else 0.0
-            params, aux, opt_state, info = densify_and_prune(
+            densify_fn = mp_densify_fn or densify_and_prune
+            params, aux, opt_state, info = densify_fn(
                 params, aux, opt_state, sub, opt.densify_grad_threshold,
                 0.005, scene.cameras_extent, size_thr, opt.percent_dense)
             if int(info["n_dropped"]) > 0:
@@ -369,6 +387,30 @@ def training(args, *, lm_phase_hook=None):
                 for k, v in stats.items():
                     writer.add_scalar(f"{k}/loss_viewpoint_psnr", v["psnr"],
                                       iteration)
+                # reference training_report extras (train.py:221-256):
+                # first rendered test images, opacity histogram, point count
+                try:
+                    from gslm_tpu.renderer import batch_render_jit
+                    show = jax.tree.map(lambda x: x[:5], all_train)
+                    out = batch_render_jit(params, show, bg_default,
+                                           config=rcfg,
+                                           active_sh_degree=active_sh,
+                                           use_trained_exp=model.train_test_exp,
+                                           alive=aux.alive)
+                    for i in range(out.render.shape[0]):
+                        writer.add_image(
+                            f"renders/view_{i:03d}",
+                            np.asarray(out.render[i]), iteration)
+                    writer.add_histogram(
+                        "scene/opacity_histogram",
+                        np.asarray(jax.nn.sigmoid(
+                            params.opacity[np.asarray(aux.alive), 0])),
+                        iteration)
+                    writer.add_scalar("total_points",
+                                      int(np.asarray(aux.num_alive)),
+                                      iteration)
+                except Exception as e:     # TB extras must never kill a run
+                    print(f"(tensorboard extras skipped: {e})")
         if iteration in save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, params, aux)

@@ -185,12 +185,16 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
 
     if mesh is not None:
-        from gslm_tpu.parallel import make_dp_lm_step
         key = (id(mesh), active_sh_degree)
         if key not in _DP_LM_CACHE:
-            _DP_LM_CACHE[key] = make_dp_lm_step(
-                mesh, rcfg=rcfg, lm=lm, active_sh_degree=active_sh_degree,
-                use_exp=use_exp, lambda_dssim=lambda_dssim)
+            kw = dict(rcfg=rcfg, lm=lm, active_sh_degree=active_sh_degree,
+                      use_exp=use_exp, lambda_dssim=lambda_dssim)
+            if mesh.shape.get("model", 1) > 1:
+                from gslm_tpu.parallel import make_mp_lm_step
+                _DP_LM_CACHE[key] = make_mp_lm_step(mesh, params, **kw)
+            else:
+                from gslm_tpu.parallel import make_dp_lm_step
+                _DP_LM_CACHE[key] = make_dp_lm_step(mesh, **kw)
         params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg)
     else:
         params, info = lm_outer_step(params, aux.alive, window, val, bg,

@@ -300,3 +300,48 @@ def test_mp_densify_on_model_sharded_state(tiny):
     from gslm_tpu.renderer import batch_render
     out = batch_render(p2, cams, jnp.zeros(3), config=RCFG, alive=a2.alive)
     assert bool(jnp.all(jnp.isfinite(out.render)))
+
+
+def test_mp_rebalance_moves_rows_and_preserves_render(tiny):
+    """Cross-shard densification rebalance: overfull -> underfull shards,
+    optimizer moments travel with rows, rendering unchanged."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.parallel.model_raster import mp_rebalance
+    from gslm_tpu.parallel.steps import _mp_specs
+    from gslm_tpu.renderer import batch_render
+
+    params, aux, cams = tiny          # 48 alive in slots 0..47 of 256
+    opt_state = init_adam(params)
+    # capacity 256 over 4 model shards of 64: shard 0 holds all 48 alive
+    mesh = make_mesh(2, 4)
+    p_spec, a_spec, o_spec = _mp_specs(mesh, params, opt_state)
+    bg = jnp.zeros(3)
+
+    before = batch_render(params, cams, bg, config=RCFG,
+                          alive=aux.alive).render
+
+    def body(p_l, a_l, o_l):
+        p2, a2, o2, moved = mp_rebalance(p_l, a_l, o_l, n_model=4,
+                                         donate_cap=64)
+        return p2, a2, o2, moved[None]
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(p_spec, a_spec, o_spec),
+        out_specs=(p_spec, a_spec, o_spec, P("model")), check_rep=False))
+    p2, a2, o2, moved = fn(params, aux, opt_state)
+
+    per_shard = np.asarray(a2.alive).reshape(4, 64).sum(axis=1)
+    assert per_shard.sum() == 48
+    assert per_shard.max() <= 12 + 1, per_shard      # ceil(48/4) = 12
+    assert int(np.asarray(moved).sum()) >= 36, per_shard
+
+    after = batch_render(p2, cams, bg, config=RCFG, alive=a2.alive).render
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before),
+                               atol=1e-6)
+    # moments followed their rows: total moment mass unchanged
+    np.testing.assert_allclose(
+        float(jnp.sum(jnp.abs(o2.mu.xyz))),
+        float(jnp.sum(jnp.abs(opt_state.mu.xyz))), rtol=1e-6)

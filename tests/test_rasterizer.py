@@ -116,3 +116,32 @@ def test_batch_render_consistent_with_single(rng):
                                    np.asarray(out_1.render), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(out_b.radii[i]),
                                       np.asarray(out_1.radii))
+
+
+def test_overflow_recovers_exactly_at_doubled_capacity(rng):
+    """Forced duplicate-buffer overflow: the flag must fire, and re-running
+    at doubled capacity must reproduce the ample-capacity render exactly —
+    the contract behind the trainer's overflow-retry loop (train.py; the
+    reference resizes its CUDA buffers on demand)."""
+    params, aux = random_gaussians(rng, n=96)
+    cam = camera_from_meta(make_camera(height=64, width=64))
+
+    big = RasterConfig(dup_capacity=1 << 12, max_per_tile=256, tile_chunk=4)
+    ref = render(params, cam, BG, config=big).render
+    out_big = render(params, cam, BG, config=big)
+    assert int(out_big.overflow) == 0
+    n_dup = int(out_big.n_duplicates)
+
+    small = big.replace(dup_capacity=max(64, n_dup // 3))
+    out_small = render(params, cam, BG, config=small)
+    assert int(out_small.overflow) == 1          # reported, render degraded
+
+    grown = small
+    for _ in range(4):                            # trainer retry loop
+        if int(render(params, cam, BG, config=grown).overflow) == 0:
+            break
+        grown = grown.replace(dup_capacity=2 * grown.dup_capacity)
+    out_rec = render(params, cam, BG, config=grown)
+    assert int(out_rec.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out_rec.render),
+                                  np.asarray(ref))

@@ -144,3 +144,26 @@ def test_densify_capacity_overflow(rng):
         1.0, 0.0, 0.01)
     assert int(info["n_dropped"]) == 8
     assert int(info["n_alive"]) <= 8
+
+
+def test_mp_mode_training_runs(tmp_path):
+    """CLI-level model-parallel mode: mesh (2 data, 2 model), Gaussians
+    sharded, shard-local densify + cross-shard rebalance, PSNR climbs."""
+    from gslm_tpu.train import evaluate, make_raster_config, training
+    from gslm_tpu.models.cameras import batch_from_metas
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    args = _args(src, str(tmp_path / "model_mp"), iterations=60,
+                 densify_from_iter=10, densification_interval=20,
+                 densify_until_iter=55, test_iterations=[60],
+                 save_iterations=[60], checkpoint_iterations=[],
+                 mesh_data=2, mesh_model=2, disable_viewer=True)
+    scene, params, aux, opt_state = training(args)
+
+    import jax.numpy as jnp
+    cams = batch_from_metas(scene.get_train_cameras())
+    rcfg = make_raster_config(cfg_mod.extract(args, cfg_mod.TpuParams),
+                              cfg_mod.extract(args, cfg_mod.PipelineParams),
+                              cams.height, cams.width, params.capacity)
+    final = evaluate(params, aux, cams, jnp.zeros(3), rcfg, 0, False)
+    assert np.isfinite(final["psnr"]) and final["psnr"] > 10.0, final
