@@ -163,3 +163,23 @@ def test_chunked_residual_matches_unchunked(rng):
     np.testing.assert_allclose(np.asarray(r_pad.l1[:4]),
                                np.asarray(r_full.l1), atol=5e-6)
     assert float(jnp.abs(r_pad.l1[4:]).max()) == 0.0
+
+
+def test_adjoint_consistency_with_ssim_residuals(rng):
+    """SSIM-enabled LM operators (disable_ssim=False): the sqrt-weighted
+    r_l1/r_ssim residual pair (reference training_loss.py:40-43) must
+    still satisfy <Jv,u> == <v,J^T u>."""
+    params, batch, _ = _setup(rng, disable_ssim=False)
+    residual_fn = functools.partial(
+        batch_residuals, cameras=batch, bg=BG, config=CFG,
+        disable_ssim=False)
+    ops = LMOperators(lambda p: residual_fn(p), params)
+    key_rng = np.random.default_rng(12)
+    v = jax.tree.map(lambda x: jnp.asarray(
+        key_rng.normal(0, 1, x.shape), x.dtype), params)
+    u = jax.tree.map(lambda x: jnp.asarray(
+        key_rng.normal(0, 1, x.shape), x.dtype), ops.residual)
+    lhs = float(res_dot(ops.matvec(v), u))
+    rhs = float(G.vdot(v, ops.matvec_T(u)))
+    assert abs(lhs - rhs) / max(abs(lhs), abs(rhs), 1e-8) < 1e-4, (lhs, rhs)
+    assert float(ops.loss_scalar) > 0.0

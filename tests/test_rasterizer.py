@@ -145,3 +145,21 @@ def test_overflow_recovers_exactly_at_doubled_capacity(rng):
     assert int(out_rec.overflow) == 0
     np.testing.assert_array_equal(np.asarray(out_rec.render),
                                   np.asarray(ref))
+
+
+def test_antialiasing_parity_and_semantics(rng):
+    """antialiasing=True (EWA opacity rescale by sqrt(det_orig/det)):
+    tiled ≡ dense-reference, and AA opacities are <= plain ones."""
+    params, aux = random_gaussians(rng, n=128)
+    cam = camera_from_meta(make_camera(height=64, width=64))
+    aa = CFG.replace(antialiasing=True)
+    out_ref = render(params, cam, BG, config=aa, impl="ref")
+    out_tiled = render(params, cam, BG, config=aa, impl="tiled")
+    np.testing.assert_allclose(np.asarray(out_tiled.render),
+                               np.asarray(out_ref.render), atol=1e-6)
+    sp_plain = preprocess(params, cam, active_sh_degree=3)
+    sp_aa = preprocess(params, cam, active_sh_degree=3, antialiasing=True)
+    assert np.all(np.asarray(sp_aa.opacity) <=
+                  np.asarray(sp_plain.opacity) + 1e-7)
+    assert np.any(np.asarray(sp_aa.opacity) <
+                  np.asarray(sp_plain.opacity) - 1e-5)

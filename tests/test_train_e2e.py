@@ -167,3 +167,57 @@ def test_mp_mode_training_runs(tmp_path):
                               cams.height, cams.width, params.capacity)
     final = evaluate(params, aux, cams, jnp.zeros(3), rcfg, 0, False)
     assert np.isfinite(final["psnr"]) and final["psnr"] > 10.0, final
+
+
+def test_exposure_training_learns_exposure(rng):
+    """use_trained_exp: per-image exposure affines receive gradients and
+    move toward compensating a synthetic exposure error (reference
+    train.py exposure_optimizer + gaussian_renderer/__init__.py:113-115)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gslm_tpu.config as cfg_mod
+    from gslm_tpu.optim import init_adam
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.renderer import batch_render
+    from gslm_tpu.train import train_step
+    from tests.utils import random_gaussians, ring_camera_batch
+
+    params, aux = random_gaussians(rng, n=96, capacity=128, num_images=3)
+    cams = ring_camera_batch(3, 48, 48)
+    rcfg = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=4)
+    bg = jnp.zeros(3)
+    # ground truth = darkened render: exposure must learn a ~0.7 gain
+    gt = batch_render(params, cams, bg, config=rcfg,
+                      alive=aux.alive).render * 0.7
+    cams = cams.replace(gt_image=gt)
+
+    opt = cfg_mod.OptimizationParams()
+    opt_state = init_adam(params)
+    exp0 = np.asarray(params.exposure).copy()
+    for it in range(1, 41):
+        v = it % 3
+        cam = jax.tree.map(lambda x: x[v:v + 1], cams)
+        params, aux, opt_state, m = train_step(
+            params, aux, opt_state, cam, bg, it, 1.0, 0.0,
+            rcfg=rcfg, opt=opt, active_sh_degree=3, use_exp=True,
+            sparse_adam=False, update_stats=False)
+    exp1 = np.asarray(params.exposure)
+    assert not np.allclose(exp1, exp0), "exposure never updated"
+    # diagonal gains moved DOWN toward 0.7
+    diag0 = exp0[:, [0, 1, 2], [0, 1, 2]].mean()
+    diag1 = exp1[:, [0, 1, 2], [0, 1, 2]].mean()
+    assert diag1 < diag0 - 1e-3, (diag0, diag1)
+
+
+def test_random_background_training_smoke(tmp_path):
+    from gslm_tpu.train import training
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=4)
+    args = _args(src, str(tmp_path / "model_rb"), iterations=10,
+                 random_background=True, test_iterations=[10],
+                 save_iterations=[10], checkpoint_iterations=[],
+                 densify_from_iter=100, disable_viewer=True)
+    scene, params, aux, opt_state = training(args)
+    import jax.numpy as jnp
+    assert bool(jnp.all(jnp.isfinite(params.xyz)))
