@@ -221,3 +221,36 @@ def test_random_background_training_smoke(tmp_path):
     scene, params, aux, opt_state = training(args)
     import jax.numpy as jnp
     assert bool(jnp.all(jnp.isfinite(params.xyz)))
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, rng):
+    """orbax sharded checkpoint: save model-sharded state, restore into
+    the mesh layout AND onto a single device; values identical."""
+    import jax
+    import jax.numpy as jnp
+    from gslm_tpu.checkpoint import (load_checkpoint_sharded,
+                                     save_checkpoint_sharded)
+    from gslm_tpu.optim import init_adam
+    from gslm_tpu.parallel import make_mesh, shard_state
+    from tests.utils import random_gaussians
+
+    params, aux = random_gaussians(rng, n=32, capacity=64)
+    opt_state = init_adam(params)
+    mesh = make_mesh(4, 2)
+    s_params, s_aux, s_opt = shard_state(mesh, params, aux, opt_state)
+
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint_sharded(path, s_params, s_aux, s_opt, 777, 3.25)
+
+    p2, a2, o2, it, slr = load_checkpoint_sharded(path, mesh=mesh)
+    assert it == 777 and slr == 3.25
+    assert "model" in str(p2.xyz.sharding.spec)
+    np.testing.assert_array_equal(np.asarray(p2.xyz), np.asarray(params.xyz))
+    np.testing.assert_array_equal(np.asarray(a2.alive),
+                                  np.asarray(aux.alive))
+    np.testing.assert_array_equal(np.asarray(o2.mu.scaling),
+                                  np.asarray(opt_state.mu.scaling))
+
+    p3, a3, o3, it3, _ = load_checkpoint_sharded(path)     # unsharded
+    np.testing.assert_array_equal(np.asarray(p3.exposure),
+                                  np.asarray(params.exposure))
