@@ -108,6 +108,7 @@ class TpuParams:
     max_per_tile: int = 1024
     tile_chunk: int = 64
     raster_impl: str = "auto"    # auto | tiled | pallas | ref
+    raster_pack: int = 0         # records/row in the Pallas stream (0=env)
     mesh_data: int = 1           # data-parallel axis size (views)
     mesh_model: int = 1          # model-parallel axis size (gaussians)
     cache_dir: str = ""          # persistent XLA compile cache

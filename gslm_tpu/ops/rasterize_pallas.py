@@ -85,6 +85,8 @@ class PackSpec:
 
     def __init__(self, pack: int):
         assert pack in (1, 2, 4, 8)
+        assert K % pack == 0, \
+            f"GSLM_RASTER_K={K} must be a multiple of pack={pack}"
         self.pack = pack
         self.feat = 128 // pack      # f32 fields per record slot (10 used)
         self.row = 128
@@ -612,6 +614,8 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     coordinates are view-local; tile rows wrap modulo view_rows)."""
     L = config.dup_capacity
     pack = config.pack or DEFAULT_PACK
+    assert L % pack == 0, \
+        f"dup_capacity={L} must be a multiple of pack={pack}"
     ps = _SPECS[pack]
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty

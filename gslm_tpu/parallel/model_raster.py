@@ -208,6 +208,7 @@ def mp_scalar_training_loss(params_local: GaussianParams,
     m = jax.lax.axis_index(model_axis)
     row_in_canvas = (m * bh_px + jnp.arange(bh_px)) < H
     amask = band_slice(cameras.alpha_mask, H, n_model, model_axis)
+    raw_image = image
     image = image * amask * row_in_canvas[:, None].astype(image.dtype)
     gt = band_slice(cameras.gt_image, H, n_model, model_axis)
     valid = band_slice(cameras.pixel_valid(), H, n_model, model_axis)
@@ -245,7 +246,12 @@ def mp_scalar_training_loss(params_local: GaussianParams,
                              model_axis) / npix
     info = {"l1": l1, "ssim": ssim_mean, "loss": loss_value,
             "radii_local": radii_local,
-            "band_render": image, "band_invdepth": invd, "diags": diags}
+            "band_render": image,
+            # pre-alpha-mask render (rows past the canvas zeroed) for the
+            # PSNR metric: the single-device metric uses the raw render
+            "band_render_raw": raw_image
+            * row_in_canvas[:, None].astype(image.dtype),
+            "band_invdepth": invd, "diags": diags}
     return loss_local, info
 
 
@@ -299,7 +305,8 @@ def mp_batch_residuals(params_local: GaussianParams, cameras: CameraBatch,
 
 
 def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
-                     val: CameraBatch, bg, *, rcfg: RasterConfig, lm,
+                     val: CameraBatch, bg, win_valid=None, val_valid=None,
+                     *, rcfg: RasterConfig, lm,
                      active_sh_degree: int, use_exp: bool, n_model: int,
                      lambda_dssim: float = 0.2, data_axis: str = "data",
                      model_axis: str = "model"):
@@ -314,13 +321,19 @@ def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
     from gslm_tpu.solver.cg import cgls_damped_unrolled
     from gslm_tpu.solver.operators import LMOperators
 
+    def weighted(r, w):
+        if w is None:
+            return r
+        return jax.tree.map(lambda x: x * w[:, None, None, None], r)
+
     def res_of(cfg):
         def f(p):
-            return mp_batch_residuals(
+            r = mp_batch_residuals(
                 p, window, bg, config=cfg, n_model=n_model,
                 lambda_dssim=lambda_dssim, disable_ssim=lm.disable_ssim,
                 use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
                 alive_local=alive_local, model_axis=model_axis)
+            return weighted(r, win_valid)
         return f
 
     residual_fn = res_of(rcfg)
@@ -334,6 +347,7 @@ def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
             lambda_dssim=lambda_dssim, disable_ssim=lm.disable_ssim,
             use_trained_exp=use_exp, active_sh_degree=active_sh_degree,
             alive_local=alive_local, model_axis=model_axis)
+        r = weighted(r, val_valid)
         return jax.lax.psum(r.loss_scalar, (data_axis, model_axis))
 
     group_mask = G.param_group_mask(mask_xyz=lm.mask_xyz)

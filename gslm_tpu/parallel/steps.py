@@ -223,18 +223,19 @@ def make_mp_train_step(mesh, params, opt_state, *, rcfg, opt,
         lrs = group_learning_rates(opt, step, spatial_lr_scale)
         visible = (radii > 0) if sparse_adam else None
         params_l, opt_l = adam_step(params_l, g_params, opt_l, lrs, visible)
+        # PSNR exactly as the single-device metric: raw (un-alpha-masked)
+        # render vs gt per view over the true H*W canvas — band pad rows
+        # are zero on both sides and npix excludes them
         gt_b = band_slice(cam.gt_image, H, n_model, "model")
-        mse_sum = jax.lax.psum(
-            jnp.sum((info["band_render"] - gt_b) ** 2), "model")
-        npix_img = jax.lax.psum(
-            jnp.asarray(jnp.size(gt_b), jnp.float32), "model")
+        mse_v = jax.lax.psum(
+            jnp.sum((info["band_render_raw"] - gt_b) ** 2, axis=(1, 2, 3)),
+            "model") / (3.0 * H * cam.width)
+        psnr_v = -10.0 * jnp.log10(jnp.maximum(mse_v, 1e-12))
         metrics = {
             "loss": loss,
             "l1": jax.lax.pmean(jnp.mean(info["l1"]), "data"),
             "depth_l1": jax.lax.pmean(depth_l1, "data"),
-            "psnr": jax.lax.pmean(
-                -10.0 * jnp.log10(jnp.maximum(mse_sum / npix_img, 1e-10)),
-                "data"),
+            "psnr": jax.lax.pmean(jnp.mean(psnr_v), "data"),
             "overflow": jax.lax.pmax(
                 jnp.max(info["diags"]["overflow"]), ("data", "model")),
             "max_tile_load": jax.lax.pmax(
@@ -267,16 +268,17 @@ def make_mp_lm_step(mesh, params, *, rcfg, lm, active_sh_degree, use_exp,
     p_spec, a_spec, _ = _mp_specs(mesh, params, init_adam(params))
     alive_spec = a_spec.alive
 
-    def step_fn(params_l, alive_l, window, val, bg):
+    def step_fn(params_l, alive_l, window, val, bg, win_valid, val_valid):
         return mp_lm_outer_step(
-            params_l, alive_l, window, val, bg, rcfg=rcfg, lm=lm,
+            params_l, alive_l, window, val, bg, win_valid, val_valid,
+            rcfg=rcfg, lm=lm,
             active_sh_degree=active_sh_degree, use_exp=use_exp,
             n_model=n_model, lambda_dssim=lambda_dssim)
 
     rep = P()
     mapped = _shard_map(step_fn, mesh,
                         in_specs=(p_spec, alive_spec, P("data"), P("data"),
-                                  rep),
+                                  rep, P("data"), P("data")),
                         out_specs=(p_spec, rep))
     return jax.jit(mapped)
 
@@ -332,14 +334,16 @@ def make_dp_lm_step(mesh, *, rcfg, lm, active_sh_degree, use_exp,
     from gslm_tpu.train_lm import lm_outer_step
     raw = lm_outer_step.__wrapped__
 
-    def step_fn(params, alive, window, val, bg):
-        return raw(params, alive, window, val, bg, rcfg=rcfg, lm=lm,
+    def step_fn(params, alive, window, val, bg, win_valid, val_valid):
+        return raw(params, alive, window, val, bg, win_valid, val_valid,
+                   rcfg=rcfg, lm=lm,
                    active_sh_degree=active_sh_degree, use_exp=use_exp,
                    lambda_dssim=lambda_dssim, axis_name="data")
 
     rep = P()
     mapped = _shard_map(step_fn, mesh,
-                        in_specs=(rep, rep, P("data"), P("data"), rep),
+                        in_specs=(rep, rep, P("data"), P("data"), rep,
+                                  P("data"), P("data")),
                         out_specs=(rep, rep))
     return jax.jit(mapped)
 

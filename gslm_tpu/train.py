@@ -44,7 +44,8 @@ def make_raster_config(tpu: cfg_mod.TpuParams, pipe: cfg_mod.PipelineParams,
                         max_per_tile=tpu.max_per_tile,
                         tile_chunk=min(tpu.tile_chunk, tiles),
                         antialiasing=pipe.antialiasing,
-                        impl=tpu.raster_impl)
+                        impl=tpu.raster_impl,
+                        pack=tpu.raster_pack)
 
 
 @functools.partial(
@@ -337,6 +338,10 @@ def training(args, *, lm_phase_hook=None):
                 dp_cache.clear()
                 print(f"\n[ITER {iteration}] duplicate-buffer overflow: "
                       f"retrying at dup_capacity={rcfg.dup_capacity}")
+            else:
+                print(f"\n[ITER {iteration}] WARNING: overflow persists "
+                      f"after retries (dup_capacity={rcfg.dup_capacity}); "
+                      f"this step used a degraded render")
 
             loss_f = float(metrics["loss"])
             ema_loss = 0.4 * loss_f + 0.6 * ema_loss

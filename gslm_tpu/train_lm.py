@@ -90,6 +90,8 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
 
     nval = val.world_view.shape[0]
     val_mb = mb if nval > mb else nval
+    if nval % val_mb != 0:
+        val_mb = nval      # direct callers with odd sizes: one chunk
     val_chunks = jax.tree.map(
         lambda x: x.reshape(nval // val_mb, val_mb, *x.shape[1:]), val)
     vweights = (jnp.ones((nval,), jnp.float32) if val_valid is None
@@ -167,12 +169,17 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     vidx = val_indices(n, lm)
 
     def pad_to_chunk(idx):
-        """Pad a view-index list to a micro_batch multiple (pads repeat the
-        first view and carry weight 0 so residuals/losses are unchanged)."""
+        """Pad a view-index list to a micro_batch multiple — and, on a
+        mesh, to a data-axis multiple so each shard's slice still chunks
+        evenly (pads repeat the first view and carry weight 0 so
+        residuals/losses are unchanged)."""
         mb = lm.micro_batch
-        if mb <= 0 or len(idx) <= mb:
+        multiple = mb if (mb > 0 and len(idx) > mb) else 1
+        if mesh is not None:
+            multiple *= mesh.shape["data"]
+        if multiple <= 1:
             return idx, None
-        pad = (-len(idx)) % mb
+        pad = (-len(idx)) % multiple
         w = np.ones(len(idx) + pad, np.float32)
         if pad:
             w[len(idx):] = 0.0
@@ -185,7 +192,9 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
 
     if mesh is not None:
-        key = (id(mesh), active_sh_degree)
+        # key includes rcfg: overflow recovery doubles dup_capacity
+        # mid-run and stale compiled steps must not survive it
+        key = (id(mesh), active_sh_degree, rcfg)
         if key not in _DP_LM_CACHE:
             kw = dict(rcfg=rcfg, lm=lm, active_sh_degree=active_sh_degree,
                       use_exp=use_exp, lambda_dssim=lambda_dssim)
@@ -195,7 +204,11 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
             else:
                 from gslm_tpu.parallel import make_dp_lm_step
                 _DP_LM_CACHE[key] = make_dp_lm_step(mesh, **kw)
-        params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg)
+        ones = lambda n: jnp.ones((n,), jnp.float32)   # noqa: E731
+        wv = win_valid if win_valid is not None else ones(len(win))
+        vv = val_valid if val_valid is not None else ones(len(vidx))
+        params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg,
+                                         wv, vv)
     else:
         params, info = lm_outer_step(params, aux.alive, window, val, bg,
                                      win_valid, val_valid,
@@ -231,10 +244,8 @@ def main():
             jax.config.update("jax_platforms", args.platform)
         from gslm_tpu.parallel import make_mesh
         mesh = make_mesh(tpu.mesh_data, tpu.mesh_model)
-        assert lm.num_images % tpu.mesh_data == 0, \
-            "--num_images must divide by --mesh_data"
-        assert lm.num_val_views % tpu.mesh_data == 0, \
-            "--num_val_views must divide by --mesh_data"
+        # window/val sizes need not divide mesh_data: lm_phase pads
+        # with zero-weight views (pad_to_chunk)
 
     def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
         active_sh = min(iteration // 1000, params.sh_degree)

@@ -14,17 +14,25 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
 
 
+_SAFE_STATE_ORIG = None
+
+
 def safe_state(silent: bool = False, seed: int = 0):
     """Silence and/or timestamp stdout and seed the host RNGs (reference
     utils/general_utils.py:123-144: every line gets a [dd/mm hh:mm:ss]
     suffix, ``--quiet`` drops output entirely, and the global seeds are
     fixed; JAX PRNG keys are explicit so only the host RNGs need seeding
-    here)."""
+    here). Idempotent: repeated calls replace the wrapper instead of
+    stacking (so a quiet run does not mute later verbose runs in the same
+    process)."""
     import random as _random
     import sys
     from datetime import datetime
 
-    old = sys.stdout
+    global _SAFE_STATE_ORIG
+    if _SAFE_STATE_ORIG is None:
+        _SAFE_STATE_ORIG = sys.stdout
+    old = _SAFE_STATE_ORIG
 
     class _TimestampedStdout:
         def write(self, x):

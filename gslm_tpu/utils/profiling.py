@@ -58,3 +58,30 @@ def enable_nan_debugging():
     by any jitted computation."""
     import jax
     jax.config.update("jax_debug_nans", True)
+
+
+def timeit_ms(fn, args, iters: int = 8, warmup: int = 1) -> float:
+    """Median-of-3 wall-clock per call, in ms, one device sync per block.
+
+    The shared harness for the scripts/profile_*.py A/B measurements.
+    Caveats (measured on the axon-tunneled v5e): block_until_ready can
+    return without syncing for scalar-only outputs — time graphs that
+    RETURN ARRAYS; and only full-pipeline A/B diffs of real jitted graphs
+    are trustworthy (in-jit microbenchmarks let XLA hoist work)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3

@@ -15,17 +15,11 @@ from gslm_tpu.renderer import render
 from gslm_tpu.utils.synthetic import make_camera, random_gaussians
 
 
+from gslm_tpu.utils.profiling import timeit_ms as _timeit_ms
+
+
 def timeit(fn, args, iters=6):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / iters)
-    return float(np.median(ts)) * 1e3
+    return _timeit_ms(fn, args, iters=iters)
 
 
 def main():

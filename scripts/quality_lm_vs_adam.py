@@ -25,12 +25,19 @@ def main():
         kw = dict(n_rich=400, n_init=60, capacity=1024, n_views=6, hw=64)
         iters, dens_until, extra = 1400, 900, 200
     else:
-        kw = dict(n_rich=4000, n_init=400, capacity=8192, n_views=8, hw=128)
+        kw = dict(n_rich=4000, n_init=400, capacity=8192, n_views=8,
+                  hw=128, dup_capacity=1 << 20)
         iters, dens_until, extra = 3000, 2000, 400
 
     params, aux, cams, rcfg, bg = build_problem(**kw)
     p_init = eval_psnr(params, aux, cams, rcfg, bg)
-    print(f"scene {kw}  init PSNR {p_init:.2f}", flush=True)
+    from gslm_tpu.renderer import batch_render_jit
+    import jax.numpy as jnp
+    ovf = batch_render_jit(params, cams, bg, config=rcfg,
+                           alive=aux.alive)
+    print(f"scene {kw}  init PSNR {p_init:.2f}  "
+          f"dups {int(ovf.n_duplicates)} overflow {int(ovf.overflow)}",
+          flush=True)
 
     t0 = time.time()
     params, aux = run_adam(params, aux, cams, rcfg, bg, iters=iters,

@@ -16,7 +16,7 @@ import numpy as np
 
 
 def build_problem(n_rich=1500, n_init=150, capacity=4096, n_views=8,
-                  hw=96, seed=0):
+                  hw=96, seed=0, dup_capacity=1 << 15):
     """Returns (params0, aux0, cams, gt_views, rich_psnr_ceiling)."""
     import jax
     import jax.numpy as jnp
@@ -32,8 +32,8 @@ def build_problem(n_rich=1500, n_init=150, capacity=4096, n_views=8,
     cams = ring_camera_batch(n_views, hw, hw)
     bg = jnp.zeros(3, jnp.float32)
     from gslm_tpu.ops.rasterize_tiled import RasterConfig
-    rcfg = RasterConfig(dup_capacity=1 << 15, max_per_tile=512, tile_chunk=8,
-                        impl="auto")
+    rcfg = RasterConfig(dup_capacity=dup_capacity, max_per_tile=1024,
+                        tile_chunk=8, impl="auto")
     gt = batch_render_jit(rich, cams, bg, config=rcfg,
                           alive=rich_aux.alive).render
     cams = cams.replace(gt_image=gt)

@@ -219,7 +219,8 @@ def test_dp_shard_map_lm_step_matches_single(tiny):
     from gslm_tpu.parallel import make_dp_lm_step
     mesh = make_mesh(4, 2)
     lm_fn = make_dp_lm_step(mesh, **kw)
-    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg)
+    ones4 = jnp.ones(4, jnp.float32)
+    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg, ones4, ones4)
     assert np.allclose(float(got_info["best_val_loss"]),
                        float(ref_info["best_val_loss"]), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_p.xyz), np.asarray(ref_p.xyz),
@@ -240,7 +241,8 @@ def test_mp_lm_step_matches_single(tiny):
     from gslm_tpu.parallel import make_mp_lm_step
     mesh = make_mesh(2, 2)
     lm_fn = make_mp_lm_step(mesh, params, **kw)
-    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg)
+    ones4 = jnp.ones(4, jnp.float32)
+    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg, ones4, ones4)
     assert np.allclose(float(got_info["best_val_loss"]),
                        float(ref_info["best_val_loss"]), rtol=1e-4), (
         float(got_info["best_val_loss"]), float(ref_info["best_val_loss"]))
@@ -345,3 +347,38 @@ def test_mp_rebalance_moves_rows_and_preserves_render(tiny):
     np.testing.assert_allclose(
         float(jnp.sum(jnp.abs(o2.mu.xyz))),
         float(jnp.sum(jnp.abs(opt_state.mu.xyz))), rtol=1e-6)
+
+
+def test_dp_lm_step_with_padded_window_matches_single(tiny):
+    """Regression (self-review r2): mesh LM paths must honor the
+    zero-weight padding views lm_phase adds for micro-batch/data-axis
+    divisibility — a padded duplicate view must not bias the step."""
+    params, aux, cams = tiny          # 4 views
+    bg = jnp.zeros(3)
+    lm = cfg_mod.LMParams(cg_max_iter=1, cg_restart_iter=1,
+                          line_search_steps=2, num_val_views=3,
+                          micro_batch=0)
+    kw = dict(rcfg=RCFG, lm=lm, active_sh_degree=3, use_exp=False)
+
+    win = [0, 1, 2]
+    window = jax.tree.map(lambda x: x[jnp.asarray(win)], cams)
+    val = jax.tree.map(lambda x: x[jnp.asarray(win)], cams)
+    ref_p, ref_info = lm_outer_step(params, aux.alive, window, val, bg,
+                                    **kw)
+
+    # pad to 4 (data axis 2) with a zero-weight duplicate of view 0
+    win_p = [0, 1, 2, 0]
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    window_p = jax.tree.map(lambda x: x[jnp.asarray(win_p)], cams)
+    val_p = jax.tree.map(lambda x: x[jnp.asarray(win_p)], cams)
+
+    from gslm_tpu.parallel import make_dp_lm_step, make_mp_lm_step
+    mesh = make_mesh(2, 2)
+    for factory in (lambda: make_dp_lm_step(mesh, **kw),
+                    lambda: make_mp_lm_step(mesh, params, **kw)):
+        got_p, got_info = factory()(params, aux.alive, window_p, val_p, bg,
+                                    w, w)
+        assert np.allclose(float(got_info["best_val_loss"]),
+                           float(ref_info["best_val_loss"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_p.xyz),
+                                   np.asarray(ref_p.xyz), atol=1e-5)
