@@ -67,6 +67,9 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
 
     nwin = window.world_view.shape[0]
     mb = lm.micro_batch if lm.micro_batch > 0 else nwin
+    if nwin % mb != 0:
+        mb = nwin    # direct callers with odd sizes: whole window (the
+        #              lm_phase driver pads to a chunk multiple instead)
     chunked = nwin > mb
 
     def make_residual_fn(cfg):
@@ -221,6 +224,21 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
               f"loss {float(info['start_loss']):.6f} → val "
               f"{float(info['best_val_loss']):.6f} "
               f"(alpha {float(info['best_alpha']):.3f})")
+
+    # overflow watchdog: the LM residuals drop the raster diagnostics, so
+    # spot-check the window render and warn loudly if the duplicate buffer
+    # saturated (the first-order loop's overflow retry, train.py, will
+    # also have grown rcfg before the LM phase in normal schedules)
+    if iteration % 50 == 0 or iteration == lm.jvp_start:
+        from gslm_tpu.renderer import batch_render_jit
+        out = batch_render_jit(params, window, bg, config=rcfg,
+                               active_sh_degree=active_sh_degree,
+                               use_trained_exp=use_exp, alive=aux.alive)
+        if int(out.overflow):
+            print(f"\n[ITER {iteration}] WARNING: LM window render "
+                  f"overflows dup_capacity={rcfg.dup_capacity} "
+                  f"({int(out.n_duplicates)} records) — raise "
+                  f"--dup_capacity; LM residuals are degraded")
     return params, info
 
 

@@ -25,9 +25,11 @@ def main():
         kw = dict(n_rich=400, n_init=60, capacity=1024, n_views=6, hw=64)
         iters, dens_until, extra = 1400, 900, 200
     else:
-        kw = dict(n_rich=4000, n_init=400, capacity=8192, n_views=8,
+        # plateau regime: capacity-bounded model on a hard scene, long
+        # Adam schedule so first-order progress has actually stalled
+        kw = dict(n_rich=6000, n_init=400, capacity=2048, n_views=8,
                   hw=128, dup_capacity=1 << 20)
-        iters, dens_until, extra = 3000, 2000, 400
+        iters, dens_until, extra = 6000, 1500, 400
 
     params, aux, cams, rcfg, bg = build_problem(**kw)
     p_init = eval_psnr(params, aux, cams, rcfg, bg)

@@ -254,3 +254,21 @@ def test_sharded_checkpoint_roundtrip(tmp_path, rng):
     p3, a3, o3, it3, _ = load_checkpoint_sharded(path)     # unsharded
     np.testing.assert_array_equal(np.asarray(p3.exposure),
                                   np.asarray(params.exposure))
+
+
+def test_sgd_batch_training_runs(tmp_path):
+    """SGD-window trainer (train_sgd path through training()): strided
+    multi-view windows, per-view depth gating, densification."""
+    from gslm_tpu.train import training
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    args = _args(src, str(tmp_path / "model_sgd"), iterations=30,
+                 densify_from_iter=5, densification_interval=10,
+                 densify_until_iter=28, test_iterations=[30],
+                 save_iterations=[30], checkpoint_iterations=[],
+                 num_images=3, disable_viewer=True)
+    args.sgd_batch = True
+    scene, params, aux, opt_state = training(args)
+    import jax.numpy as jnp
+    assert bool(jnp.all(jnp.isfinite(params.xyz)))
+    assert int(jnp.sum(aux.alive)) > 0
