@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gslm_tpu.models.gaussians import GaussianAux, GaussianParams, init_aux
-from gslm_tpu.optim import AdamState, init_adam
+from gslm_tpu.models.gaussians import GaussianAux, GaussianParams
+from gslm_tpu.optim import AdamState
 
 
 def _flatten(prefix: str, tree) -> dict[str, np.ndarray]:

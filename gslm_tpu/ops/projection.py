@@ -27,7 +27,7 @@ from gslm_tpu.models.cameras import Camera
 from gslm_tpu.models.gaussians import GaussianParams
 from gslm_tpu.ops.sh import eval_sh
 from gslm_tpu.struct import pytree_dataclass
-from gslm_tpu.utils.general import quat_normalize, quat_to_rotmat
+from gslm_tpu.utils.general import quat_normalize
 
 TILE = 16
 NEAR_CULL = 0.2

@@ -37,7 +37,6 @@ the full splat gather is ~8 MB over ICI and far from the bottleneck.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

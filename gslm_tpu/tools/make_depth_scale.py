@@ -57,9 +57,12 @@ def get_scales(image_meta, cameras, points3d_ordered, depths_dir: str):
     if valid.sum() > 10 and (invcolmapdepth.max() - invcolmapdepth.min()) > 1e-3:
         maps = maps[valid]
         invcolmapdepth = invcolmapdepth[valid]
+        # NOTE: the reference indexes [..., 0] here, relying on cv2 4.x
+        # returning (n, 1) for 1-D maps; cv2 5.x returns (1, n) and that
+        # indexing silently keeps ONE sample — flatten instead
         invmonodepth = cv2.remap(invmono, maps[..., 0], maps[..., 1],
                                  interpolation=cv2.INTER_LINEAR,
-                                 borderMode=cv2.BORDER_REPLICATE)[..., 0]
+                                 borderMode=cv2.BORDER_REPLICATE).reshape(-1)
         # median/MAD alignment (reference make_depth_scale.py:52-59)
         t_colmap = np.median(invcolmapdepth)
         s_colmap = np.mean(np.abs(invcolmapdepth - t_colmap))

@@ -178,3 +178,51 @@ def test_blender_reader_roundtrip(tmp_path):
     # re-dispatch is idempotent (ply cached)
     info2 = load_scene_info(str(root), white_background=True)
     np.testing.assert_array_equal(info2.points, info.points)
+
+
+def test_make_depth_scale_recovers_affine(tmp_path):
+    """Synthetic mono-depth = known affine of COLMAP sparse depth: the
+    median/MAD alignment must recover (scale, offset) (reference
+    utils/make_depth_scale.py get_scales)."""
+    import cv2
+
+    from gslm_tpu.data.colmap import ColmapImage
+    from gslm_tpu.tools.make_depth_scale import get_scales
+    from gslm_tpu.utils.graphics import qvec2rotmat
+
+    class Cam:
+        width, height = 64, 64
+
+    rng = np.random.default_rng(0)
+    n = 200
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float64)
+    pts[:, 2] = rng.uniform(2.0, 6.0, n)           # in front of camera
+    qvec = np.array([1.0, 0, 0, 0])
+    tvec = np.zeros(3)
+    R = qvec2rotmat(qvec)
+    cam_pts = pts @ R.T + tvec
+    inv_colmap = 1.0 / cam_pts[:, 2]
+
+    # mono inv-depth image: affine of true inv depth, constant per image?
+    # build a dense inv-depth map from a smooth affine field and sample
+    # points at pixel positions carrying exactly those values
+    true_scale, true_offset = 1.5, 0.02   # keeps mono in [0,1]
+    xys = rng.uniform(2, 62, (n, 2))
+    mono_vals = (inv_colmap - true_offset) / true_scale
+    img = np.zeros((64, 64), np.float32)
+    # paint each sample's nearest pixel with its mono value
+    for (x, y), v in zip(xys, mono_vals):
+        img[int(round(y)), int(round(x))] = v
+    # resample xys to the painted centers so remap reads exact values
+    xys = np.stack([np.round(xys[:, 0]), np.round(xys[:, 1])], axis=1)
+    png = (np.clip(img, 0, 1) * (2 ** 16 - 1)).astype(np.uint16)
+    cv2.imwrite(str(tmp_path / "im0.png"), png)
+    # quantization: recompute the values the tool will actually read
+    meta = ColmapImage(1, qvec, tvec, 1, "im0.jpg", xys,
+                       np.arange(n, dtype=np.int64))
+    out = get_scales(meta, {1: Cam()}, pts, str(tmp_path))
+    assert out is not None and out["image_name"] == "im0"
+    got = np.array([out["scale"], out["offset"]])
+    # 16-bit quantization + nearest-pixel painting → loose-ish tolerance
+    assert abs(got[0] - true_scale) / true_scale < 0.05, out
+    assert abs(got[1] - true_offset) < 0.02, out
