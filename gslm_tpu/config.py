@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from argparse import ArgumentParser, Namespace
+from argparse import ArgumentParser, BooleanOptionalAction, Namespace
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +131,11 @@ def add_all_args(parser: ArgumentParser, groups=("model", "pipeline", "opt",
             if f.name in _SHORTHAND:
                 flags.append(_SHORTHAND[f.name])
             if f.type == "bool" or f.type is bool:
-                grp.add_argument(*flags, action="store_true",
+                # BooleanOptionalAction so True-default flags can be turned
+                # OFF (--no-mask_xyz, --no-disable_ssim, ...): store_true
+                # made them permanently True from the CLI, which hid the
+                # repo's own best LM configuration (xyz unmasked).
+                grp.add_argument(*flags, action=BooleanOptionalAction,
                                  default=f.default)
             else:
                 grp.add_argument(*flags, type=type(f.default),

@@ -54,6 +54,38 @@ class Splats2D:
     visible: jnp.ndarray     # (P,) bool
 
 
+def quad_min_rect(a, b, c, dx0, dx1, dy0, dy1):
+    """Exact minimum of the PSD quadratic q(x,y)=a x² + 2b xy + c y² over
+    the axis-aligned rectangle [dx0,dx1]×[dy0,dy1] (all elementwise arrays).
+
+    Used for exact ellipse–tile-rectangle intersection culling: a splat
+    contributes to a tile iff min q ≤ s2 = 2·ln(255·opacity) somewhere on
+    the tile (the compositor gates alpha < 1/255 — composite.py ALPHA_MIN,
+    matching CUDA renderCUDA's skip), so tiles failing this test can be
+    dropped from the record stream with *bitwise identical* output. The
+    min of a PSD quadratic over a rect is attained at the center (if
+    inside) or on one of the 4 edges, where the 1-D restriction is a
+    clamped parabola — closed form, no iteration."""
+    inside = (dx0 <= 0) & (0 <= dx1) & (dy0 <= 0) & (0 <= dy1)
+    ia = 1.0 / jnp.maximum(a, 1e-12)
+    ic = 1.0 / jnp.maximum(c, 1e-12)
+
+    def q(dx, dy):
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+    def edge_x(dx):                      # x fixed, minimize over y
+        dy = jnp.clip(-b * dx * ic, dy0, dy1)
+        return q(dx, dy)
+
+    def edge_y(dy):                      # y fixed, minimize over x
+        dx = jnp.clip(-b * dy * ia, dx0, dx1)
+        return q(dx, dy)
+
+    m = jnp.minimum(jnp.minimum(edge_x(dx0), edge_x(dx1)),
+                    jnp.minimum(edge_y(dy0), edge_y(dy1)))
+    return jnp.where(inside, 0.0, m)
+
+
 def compute_cov3d(scaling, rotation, scaling_modifier=1.0):
     """Upper-tri components of Σ = (R S)(R S)ᵀ as six (P,) arrays
     (xx, xy, xz, yy, yz, zz).

@@ -332,7 +332,7 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
 # ---------------------------------------------------------------------------
 # backward kernel (see module docstring for the math)
 # ---------------------------------------------------------------------------
-def _make_tile_bwd_kernel(ps: PackSpec):
+def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
     def _tile_bwd_kernel(starts_ref, counts_ref, feat_hbm, gtiles_ref,
                          tiles_ref, dfeat_hbm, rscratch, gscratch, rsem,
                          wsem):
@@ -429,8 +429,9 @@ def _make_tile_bwd_kernel(ps: PackSpec):
                     ok = contrib & (t_after >= T_EPS) & (t_before >= T_EPS)
                     w = jnp.where(ok, a * t_before, 0.0)
                     dw = (_sub(ps, f, k, 6) * g_r + _sub(ps, f, k, 7) * g_gg
-                          + _sub(ps, f, k, 8) * g_b
-                          + _sub(ps, f, k, 9) * g_i)
+                          + _sub(ps, f, k, 8) * g_b)
+                    if depth_grad:
+                        dw = dw + _sub(ps, f, k, 9) * g_i
                     first_fail = contrib & (t_after < T_EPS) \
                         & (t_before >= T_EPS)
                     q = jnp.where(ok, dw * w, 0.0) \
@@ -485,7 +486,9 @@ def _make_tile_bwd_kernel(ps: PackSpec):
                         jnp.sum(ws[k] * g_r, axis=1, keepdims=True),
                         jnp.sum(ws[k] * g_gg, axis=1, keepdims=True),
                         jnp.sum(ws[k] * g_b, axis=1, keepdims=True),
-                        jnp.sum(ws[k] * g_i, axis=1, keepdims=True),
+                        (jnp.sum(ws[k] * g_i, axis=1, keepdims=True)
+                         if depth_grad else
+                         jnp.zeros((ps.rpc, 1), jnp.float32)),
                         jnp.zeros((ps.rpc, ps.feat - 10), jnp.float32),
                     ], axis=1)                             # (rpc, feat)
                     gcols.append(cols)
@@ -521,7 +524,8 @@ def _make_tile_bwd_kernel(ps: PackSpec):
 
 
 def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
-              n_programs: int, interpret: bool, pack: int = DEFAULT_PACK):
+              n_programs: int, interpret: bool, pack: int = DEFAULT_PACK,
+              depth_grad: bool = True):
     """Invoke the backward compositor; returns dfeat with feat's shape.
 
     ``tiles`` is the saved forward output — its exit-state rows replace
@@ -547,7 +551,7 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
-        _make_tile_bwd_kernel(ps),
+        _make_tile_bwd_kernel(ps, depth_grad),
         out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -562,7 +566,7 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_composite(n_programs: int, ntiles: int, interpret: bool,
-                    mode: str, pack: int):
+                    mode: str, pack: int, depth_grad: bool = True):
     """Composite-tiles function with the requested differentiation rule.
 
     mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
@@ -582,7 +586,7 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
         def bwd(res, gtiles):
             feat, starts_plus, counts_pad, tiles = res
             dfeat = _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles,
-                              **kw)
+                              depth_grad=depth_grad, **kw)
             # rows past the last padded segment are never written by any
             # tile: scrub uninitialized HBM (which may hold NaNs) with
             # where — a mask multiply would propagate NaN*0=NaN into the
@@ -613,9 +617,10 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     ``view_rows``: tile rows per view for fused multi-view batches (splat
     coordinates are view-local; tile rows wrap modulo view_rows)."""
     L = config.dup_capacity
+    Leff = config.eff_capacity()
     pack = config.pack or DEFAULT_PACK
-    assert L % pack == 0, \
-        f"dup_capacity={L} must be a multiple of pack={pack}"
+    assert L % pack == 0 and Leff % pack == 0, \
+        f"dup/live capacity ({L}/{Leff}) must be a multiple of pack={pack}"
     ps = _SPECS[pack]
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
@@ -623,8 +628,10 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         view_rows = nty
     P = splats.mean2d.shape[0]
 
-    order, sorted_gid, starts, ends, total = duplicate_sort_ranges(
-        splats, ntx, nty, L)
+    order, sorted_gid, starts, ends, totals = duplicate_sort_ranges(
+        splats, ntx, nty, L, view_rows=view_rows, cull=config.cull,
+        live_capacity=config.live_capacity)
+    total_eff, total_aabb = totals
     counts = ends - starts
 
     # ---- pad every tile's segment to a pack multiple and gather the
@@ -634,11 +641,11 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     if pack == 1:
         poffsets = starts
         gid2 = sorted_gid
-        L2 = L
+        L2 = Leff
     else:
         pcounts = ((counts + pack - 1) // pack) * pack
         poffsets = jnp.cumsum(pcounts) - pcounts
-        L2 = L + ntiles * pack   # static: worst-case per-tile padding
+        L2 = Leff + ntiles * pack   # static: worst-case per-tile padding
         tile_pack = jnp.stack([
             poffsets.astype(jnp.float32), starts.astype(jnp.float32),
             counts.astype(jnp.float32),
@@ -650,7 +657,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         in_seg = rank < rep[:, 2].astype(jnp.int32)
         total_p = poffsets[-1] + pcounts[-1]
         in_seg = in_seg & (iota2 < total_p)
-        orig = jnp.clip(rep[:, 1].astype(jnp.int32) + rank, 0, L - 1)
+        orig = jnp.clip(rep[:, 1].astype(jnp.int32) + rank, 0, Leff - 1)
         gid2 = jnp.where(in_seg, sorted_gid[orig], P)    # P -> zero record
 
     # The record table is permuted into depth order at P level (cheap) so
@@ -690,7 +697,8 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     counts_pad = jnp.concatenate(
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 
-    comp = _make_composite(n_programs, ntiles, interpret, mode, pack)
+    comp = _make_composite(n_programs, ntiles, interpret, mode, pack,
+                           config.depth_grad)
     tiles = comp(feat, starts_plus, counts_pad)
     tiles = tiles[:ntiles]
 
@@ -705,7 +713,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     return {
         "render": rgb + t_final * bg[:, None, None],
         "invdepth": invd,
-        "n_duplicates": total,
-        "overflow": (total > L).astype(jnp.int32),
+        "n_duplicates": total_eff,
+        "overflow": ((total_eff > Leff) | (total_aabb > L)).astype(jnp.int32),
         "max_tile_load": jnp.max(counts),
     }

@@ -36,12 +36,13 @@ import jax
 import jax.numpy as jnp
 
 from gslm_tpu.ops.composite import alpha_from_conic, composite_weights
-from gslm_tpu.ops.projection import TILE, Splats2D
+from gslm_tpu.ops.projection import TILE, Splats2D, quad_min_rect
 from gslm_tpu.struct import pytree_dataclass
 
 
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
-                                 "antialiasing", "impl", "pack"))
+                                 "antialiasing", "impl", "pack", "cull",
+                                 "live_capacity", "depth_grad"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -54,6 +55,22 @@ class RasterConfig:
     128-lane row in the Pallas record stream. 1 is fastest on v5e
     (measured ~1.8x over 2/4); 8 costs VPU issue overhead but shrinks the
     HBM stream/footprint 8x for million-Gaussian multi-view windows.
+
+    ``cull``: exact ellipse–tile intersection culling. Only records the
+    compositor's 1/255 alpha gate would zero everywhere are dropped, so
+    output differs from cull=False by at most f32 reassociation (≤1-2 ulp
+    from shifted reduction trees, never a contribution). Drops the AABB's
+    corner tiles, ~18% of records at typical opacities — every post-sort
+    stage scales with the stream. With
+    ``live_capacity`` (default 0 → = dup_capacity) the post-sort arrays
+    (record gather, compositor streams, backward cotangent scatter) shrink
+    to the surviving-record capacity while the AABB-sized duplicate/sort
+    front-end keeps ``dup_capacity``.
+
+    ``depth_grad``: compute invdepth cotangents in the Pallas backward.
+    Set False when no depth loss is active (the reference backward also
+    skips depth grads when dL/dinvdepth is absent) — trims the per-record
+    gradient reductions.
     """
 
     dup_capacity: int = 1 << 18     # total (gaussian, tile) entries
@@ -62,14 +79,100 @@ class RasterConfig:
     antialiasing: bool = False
     impl: str = "tiled"
     pack: int = 0
+    cull: bool = True
+    live_capacity: int = 0          # 0 → dup_capacity
+    depth_grad: bool = True
+
+    def eff_capacity(self) -> int:
+        return (self.live_capacity or self.dup_capacity) if self.cull \
+            else self.dup_capacity
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _lower_bound(keys, bounds, n: int):
+    """Vectorized binary search: for each bound, the count of (ascending)
+    ``keys[:n]`` strictly below it. Replaces the separable rect-histogram
+    for per-tile segment extraction when exact culling is on (survival is
+    not separable in x/y, so the MXU indicator matmul no longer applies):
+    ~log2(n) gathers of ntiles rows each — P- and L-independent."""
+    lo = jnp.zeros_like(bounds)
+    hi = jnp.full_like(bounds, n)
+    for _ in range(max(n.bit_length(), 1) + 1):
+        mid = (lo + hi) >> 1
+        go = keys[jnp.minimum(mid, n - 1)] < bounds
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    return jnp.minimum(lo, n)
+
+
+def _cell_masks(splats: Splats2D, view_rows: int, cwb: int, chb: int):
+    """Per-Gaussian 8×8-cell survival masks for exact ellipse–tile culling.
+
+    The AABB tile rect (projection.py, opacity-aware per-axis bounds) still
+    keeps tiles the contributing ellipse never touches — the rect corners.
+    Partition each rect into an 8×8 grid of cells (cell = cw×ch whole
+    tiles, cw = ceil(w/8)); a cell survives iff the exact min of the conic
+    quadratic over the cell's pixel rectangle is within the alpha ≥ 1/255
+    level set (projection.quad_min_rect). For rects ≤ 8 tiles wide/tall the
+    cells ARE single tiles, so the test is exact per tile; larger rects are
+    culled at cell granularity (measured: the 8×8 scheme recovers
+    essentially the full exact-test reduction, 0.8213 vs 0.8211 survival on
+    the bench distribution). Returns three packed int32 mask words
+    (22/22/20 bits), packed (ch << cwb) | cw cell sizes, and the per-
+    Gaussian surviving-tile count.
+
+    CUDA comparison: the reference's rasterizer keeps the full 3-sigma
+    rect (SURVEY §2.2 duplicateWithKeys); opacity-aware AABB + exact
+    intersection is a TPU-side improvement that shrinks the record stream
+    the row-latency-bound scatter/gather stages pay for."""
+    x0r, y0r = splats.rect_min[:, 0], splats.rect_min[:, 1]
+    x1r, y1r = splats.rect_max[:, 0], splats.rect_max[:, 1]
+    wr = jnp.maximum(x1r - x0r, 1)
+    hr = jnp.maximum(y1r - y0r, 1)
+    cw = (wr + 7) >> 3
+    ch = (hr + 7) >> 3
+    # tile rows are view-local in pixel space (fused multi-view batches
+    # stack per-view tile grids vertically with view-local splat coords)
+    y0loc = y0r % view_rows
+    mx, my = splats.mean2d[:, 0], splats.mean2d[:, 1]
+    qa = jnp.maximum(splats.conic[:, 0], 1e-12)
+    qb = splats.conic[:, 1]
+    qc = jnp.maximum(splats.conic[:, 2], 1e-12)
+    s2 = 2.0 * jnp.log(jnp.maximum(splats.opacity * 255.0, 1e-12))
+    ftile = float(TILE)
+    words = [jnp.zeros_like(x0r), jnp.zeros_like(x0r), jnp.zeros_like(x0r)]
+    nlive = jnp.zeros_like(x0r)
+    for b in range(64):
+        cy_, cx_ = b >> 3, b & 7
+        ax0 = cx_ * cw
+        ax1 = jnp.minimum(ax0 + cw, wr)
+        ay0 = cy_ * ch
+        ay1 = jnp.minimum(ay0 + ch, hr)
+        nx = jnp.maximum(ax1 - ax0, 0)
+        ny = jnp.maximum(ay1 - ay0, 0)
+        qmin = quad_min_rect(
+            qa, qb, qc,
+            (x0r + ax0).astype(jnp.float32) * ftile - mx,
+            (x0r + ax1).astype(jnp.float32) * ftile - 1.0 - mx,
+            (y0loc + ay0).astype(jnp.float32) * ftile - my,
+            (y0loc + ay1).astype(jnp.float32) * ftile - 1.0 - my)
+        # conservative margin: keep on any rounding doubt (never cull a
+        # record the compositor's 1/255 gate would pass)
+        keep = (nx > 0) & (ny > 0) & (qmin * (1.0 - 1e-4) <= s2 + 1e-3)
+        wi, sh = (0, b) if b < 22 else ((1, b - 22) if b < 44 else (2, b - 44))
+        words[wi] = words[wi] | (keep.astype(jnp.int32) << sh)
+        nlive = nlive + jnp.where(keep, nx * ny, 0)
+    nlive = jnp.where(splats.tile_count > 0, nlive, 0)
+    assert cw.dtype == jnp.int32
+    return words[0], words[1], words[2], (ch << cwb) | cw, nlive
+
+
 def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
-                          carry_cols=None):
+                          carry_cols=None, *, view_rows: int | None = None,
+                          cull: bool = False, live_capacity: int = 0):
     """Stages 1-3 of the tile pipeline (shared by the XLA and Pallas
     compositors): fixed-capacity duplicate-with-keys, sort by (tile,
     depth), per-tile range extraction.
@@ -109,12 +212,34 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     still keys-first. Segments are exact whenever ``total <= L``; on
     overflow the flag is set and contents degrade (finite, gated) until the
     caller re-tunes dup_capacity, matching the reference's resize-on-demand.
+
+    ``cull=True`` enables exact ellipse–tile culling (see ``_cell_masks``):
+    entries whose tile the contributing ellipse never reaches get the
+    sentinel key and sort past all live entries, so the returned ``rank``
+    and segment bounds are truncated to ``live_capacity`` (default
+    ``L``) — post-sort stages (gather, compositor, backward scatter) then
+    scale with the surviving stream while duplicate+sort keep AABB
+    capacity. Culled records are exactly ones the compositor's 1/255 alpha
+    gate zeroes, so output changes only by f32 reassociation. The returned
+    ``total`` becomes a pair (live total, AABB total) for the two capacity
+    checks.
     """
     ntiles = ntx * nty
     P = splats.mean2d.shape[0]
     assert ntx <= 0xFFFF and nty <= 0xFFFF, "tile coords must fit 16 bits"
     B = max((P - 1).bit_length(), 1)
     nc = 0 if carry_cols is None else carry_cols.shape[0]
+    if view_rows is None:
+        view_rows = nty
+    Leff = (live_capacity or L) if cull else L
+
+    cell_cols = ()
+    if cull:
+        cwb = max(_cdiv(ntx, 8).bit_length(), 1)
+        chb = max(_cdiv(view_rows, 8).bit_length(), 1)
+        m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb, chb)
+        total_live = jnp.sum(nlive)
+        cell_cols = (m0, m1, m2, cwch)
 
     # ---- 1. depth pre-sort at P level (stable; invisible last) ----------
     # Rect corners ride as two packed int32 payloads ((x0<<16|x1),
@@ -125,11 +250,13 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     py_pack = (splats.rect_min[:, 1] << 16) | splats.rect_max[:, 1]
     sorted_p = jax.lax.sort(
         (depth_key, jnp.arange(P, dtype=jnp.int32), splats.tile_count,
-         px_pack, py_pack,
+         px_pack, py_pack, *cell_cols,
          *(carry_cols[i] for i in range(nc))),
         num_keys=1, is_stable=True)
     _, order, counts, pxs, pys = sorted_p[:5]
-    ccols_p = sorted_p[5:]
+    ncell = len(cell_cols)
+    cell_p = sorted_p[5:5 + ncell]
+    ccols_p = sorted_p[5 + ncell:]
     x0, x1 = pxs >> 16, pxs & 0xFFFF
     y0, y1 = pys >> 16, pys & 0xFFFF
 
@@ -155,6 +282,9 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
                   (width, max(ntx.bit_length(), 1)),
                   (corner, max((ntiles - 1).bit_length(), 1)),
                   (rank_p, B)]
+    if cull:
+        field_bits += [(cell_p[0], 22), (cell_p[1], 22), (cell_p[2], 20),
+                       (cell_p[3], cwb + chb)]
     streams, layout = [], []                         # layout: (si, shift, nb)
     for arr, nb in field_bits:
         assert nb <= 31, "field exceeds an int32 stream"
@@ -171,14 +301,30 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     acc = jnp.zeros((len(streams), L), jnp.int32).at[:, offsets].add(
         delta, mode="drop")
     acc = jnp.cumsum(acc, axis=1)
-    off_e, w_e, corner_e, rank_e = (
-        (acc[si] >> sh) & ((1 << nb) - 1) for si, sh, nb in layout)
+    fields_e = [(acc[si] >> sh) & ((1 << nb) - 1) for si, sh, nb in layout]
+    off_e, w_e, corner_e, rank_e = fields_e[:4]
 
     iota = jnp.arange(L, dtype=jnp.int32)
     entry_valid = iota < total
     r = iota - off_e
     dy = r // w_e
-    tile = corner_e + dy * ntx + (r - dy * w_e)
+    dx = r - dy * w_e
+    tile = corner_e + dy * ntx + dx
+
+    if cull:
+        # per-entry survival bit from the owning Gaussian's cell mask
+        m0e, m1e, m2e, cwche = fields_e[4:8]
+        cw_e = jnp.maximum(cwche & ((1 << cwb) - 1), 1)
+        ch_e = jnp.maximum(cwche >> cwb, 1)
+        cxe = jnp.clip(dx // cw_e, 0, 7)
+        cye = jnp.clip(dy // ch_e, 0, 7)
+        cb_ = cye * 8 + cxe
+        word = jnp.where(cb_ < 22, m0e, jnp.where(cb_ < 44, m1e, m2e))
+        shv = jnp.where(cb_ < 22, cb_,
+                        jnp.where(cb_ < 44, cb_ - 22, cb_ - 44))
+        entry_live = entry_valid & (((word >> shv) & 1) > 0)
+    else:
+        entry_live = entry_valid
 
     if nc:
         # real-valued carry columns still ride a jnp.repeat (they need
@@ -191,7 +337,8 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         payloads = ()
 
     if (ntiles + 1) << B <= (1 << 31):
-        key = jnp.where(entry_valid,
+        key_shift = B
+        key = jnp.where(entry_live,
                         (tile << B) | rank_e,
                         jnp.int32(ntiles << B))      # sentinel sorts last
         sorted_l = jax.lax.sort((key, *payloads), num_keys=1,
@@ -201,7 +348,8 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     else:
         # split rank across key high bits + payload (rare: huge P*tiles)
         hi_bits = 31 - (ntiles + 1).bit_length()
-        key = jnp.where(entry_valid,
+        key_shift = hi_bits
+        key = jnp.where(entry_live,
                         (tile << hi_bits) | (rank_e >> (B - hi_bits)),
                         jnp.int32(ntiles << hi_bits))
         sorted_l = jax.lax.sort((key, rank_e, *payloads), num_keys=2,
@@ -209,20 +357,35 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         rank = sorted_l[1]
         ccols_l = sorted_l[2:]
 
-    # ---- 3. tile ranges via rectangle-histogram matmul -------------------
-    vis = counts > 0
-    cx = jnp.arange(ntx, dtype=jnp.int32)[None, :]
-    cy = jnp.arange(nty, dtype=jnp.int32)[None, :]
-    in_x = ((cx >= x0[:, None]) & (cx < x1[:, None])).astype(jnp.bfloat16)
-    in_y = ((cy >= y0[:, None]) & (cy < y1[:, None]) & vis[:, None]
-            ).astype(jnp.bfloat16)
-    hist = jax.lax.dot_general(in_y, in_x, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    ends = jnp.minimum(jnp.cumsum(hist.reshape(-1).astype(jnp.int32)), L)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    # ---- 3. per-tile segment bounds --------------------------------------
+    if cull:
+        # survival is not separable in x/y, so the histogram matmul below
+        # no longer applies; the sorted keys themselves ARE the segment
+        # structure (live entries form an ascending prefix) — binary-search
+        # the tile boundaries over the truncated key stream.
+        bounds = (jnp.arange(ntiles, dtype=jnp.int32) + 1) << key_shift
+        ends = _lower_bound(sorted_l[0][:Leff], bounds, Leff)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        rank = rank[:Leff]
+        ccols_l = tuple(c[:Leff] for c in ccols_l)
+        totals = (total_live, total)
+    else:
+        # rectangle-histogram matmul (MXU): a tile is covered iff
+        # (row in [y0,y1)) AND (col in [x0,x1)) — separable
+        vis = counts > 0
+        cx = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+        cy = jnp.arange(nty, dtype=jnp.int32)[None, :]
+        in_x = ((cx >= x0[:, None]) & (cx < x1[:, None])).astype(jnp.bfloat16)
+        in_y = ((cy >= y0[:, None]) & (cy < y1[:, None]) & vis[:, None]
+                ).astype(jnp.bfloat16)
+        hist = jax.lax.dot_general(in_y, in_x, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ends = jnp.minimum(jnp.cumsum(hist.reshape(-1).astype(jnp.int32)), L)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        totals = (total, total)
     if carry_cols is None:
-        return order, rank, starts, ends, total
-    return order, rank, starts, ends, total, ccols_l
+        return order, rank, starts, ends, totals
+    return order, rank, starts, ends, totals, ccols_l
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "config",
@@ -245,7 +408,11 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     if view_rows is None:
         view_rows = nty
 
-    order, rank, starts, ends, total = duplicate_sort_ranges(splats, ntx, nty, L)
+    Leff = config.eff_capacity()
+    order, rank, starts, ends, totals = duplicate_sort_ranges(
+        splats, ntx, nty, L, view_rows=view_rows, cull=config.cull,
+        live_capacity=config.live_capacity)
+    total_eff, total_aabb = totals
     tile_loads = ends - starts
 
     # ---- 4. per-tile compositing ----------------------------------------
@@ -269,7 +436,7 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     def tile_fn(t):
         s0 = starts[t]
         n = jnp.minimum(ends[t] - s0, S)
-        idx = jnp.minimum(s0 + slot_iota, L - 1)
+        idx = jnp.minimum(s0 + slot_iota, Leff - 1)
         g = sorted_gid[idx]                          # (S,)
         valid = slot_iota < n
 
@@ -306,7 +473,7 @@ def rasterize_tiled(splats: Splats2D, height: int, width: int,
     return {
         "render": assemble(imgs, 3),
         "invdepth": assemble(invds, 1),
-        "n_duplicates": total,
-        "overflow": (total > L).astype(jnp.int32),
+        "n_duplicates": total_eff,
+        "overflow": ((total_eff > Leff) | (total_aabb > L)).astype(jnp.int32),
         "max_tile_load": jnp.max(tile_loads),
     }

@@ -1,0 +1,195 @@
+"""Exact ellipse-tile culling tests.
+
+The cull drops (gaussian, tile) records whose alpha stays below the 1/255
+compositor gate everywhere on the tile (projection.quad_min_rect +
+rasterize_tiled._cell_masks), so renders/grads must match the un-culled
+pipeline to f32-reassociation tolerance, with a measurably smaller record
+stream. Mirrors the reference golden strategy (tests/test_batch_render.py
+atol 1e-6) for a stage the CUDA pipeline does not have (it keeps the full
+3-sigma rect, SURVEY §2.2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslm_tpu.models.cameras import camera_from_meta
+from gslm_tpu.ops.rasterize_tiled import RasterConfig
+from gslm_tpu.renderer import batch_render, render
+from tests.utils import make_camera, random_gaussians, ring_camera_batch
+
+BG = jnp.zeros(3)
+CFG = RasterConfig(dup_capacity=1 << 16, max_per_tile=512, tile_chunk=16,
+                   impl="tiled", cull=False)
+
+
+def _scene(rng, n=2048):
+    params, aux = random_gaussians(rng, n=n, capacity=n)
+    cam = camera_from_meta(make_camera(height=192, width=256))
+    return params, aux, cam
+
+
+def test_cull_matches_uncull_forward(rng):
+    params, aux, cam = _scene(rng)
+    off = render(params, cam, BG, config=CFG, alive=aux.alive)
+    on = render(params, cam, BG, config=CFG.replace(cull=True),
+                alive=aux.alive)
+    assert int(off.overflow) == 0 and int(on.overflow) == 0
+    assert int(on.n_duplicates) < int(off.n_duplicates), \
+        "culling should drop records"
+    # removing zero-weight slots shifts f32 reduction trees by a few ulp;
+    # the semantic guarantee (no contributing record culled) is pinned
+    # exactly by test_cull_never_drops_contributing_records
+    np.testing.assert_allclose(np.asarray(on.render),
+                               np.asarray(off.render), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(on.invdepth),
+                               np.asarray(off.invdepth), atol=5e-6)
+
+
+def test_cull_live_capacity_slices_stream(rng):
+    params, aux, cam = _scene(rng)
+    off = render(params, cam, BG, config=CFG, alive=aux.alive)
+    n_live = int(render(params, cam, BG, config=CFG.replace(cull=True),
+                        alive=aux.alive).n_duplicates)
+    live_cap = n_live + 100
+    on = render(params, cam, BG,
+                config=CFG.replace(cull=True, live_capacity=live_cap),
+                alive=aux.alive)
+    assert int(on.overflow) == 0
+    np.testing.assert_allclose(np.asarray(on.render),
+                               np.asarray(off.render), atol=5e-6)
+    # too-small live capacity must raise the overflow flag
+    clipped = render(params, cam, BG,
+                     config=CFG.replace(cull=True,
+                                        live_capacity=n_live // 2),
+                     alive=aux.alive)
+    assert int(clipped.overflow) == 1
+
+
+def test_cull_never_drops_contributing_records(rng):
+    """Brute-force semantic guarantee: every (gaussian, tile) record whose
+    discrete max alpha over the tile's pixel centers reaches the 1/255
+    compositor gate must survive the cell-mask cull (the continuous-rect
+    quadratic min is a conservative lower bound of the discrete min)."""
+    from gslm_tpu.ops.composite import ALPHA_MIN
+    from gslm_tpu.ops.projection import TILE, preprocess
+    from gslm_tpu.ops.rasterize_tiled import _cdiv, _cell_masks
+
+    params, aux = random_gaussians(rng, n=512, capacity=512)
+    cam = camera_from_meta(make_camera(height=96, width=128))
+    sp = preprocess(params, cam, active_sh_degree=3, alive=aux.alive)
+    ntx, nty = _cdiv(cam.width, TILE), _cdiv(cam.height, TILE)
+    cwb = max(_cdiv(ntx, 8).bit_length(), 1)
+    chb = max(_cdiv(nty, 8).bit_length(), 1)
+    m = _cell_masks(sp, nty, cwb, chb)
+    m0, m1, m2, cwch, _ = (np.asarray(x) for x in m)
+    sp = jax.tree.map(np.asarray, sp)
+    cw, ch = cwch & ((1 << cwb) - 1), cwch >> cwb
+
+    checked = culled = 0
+    for i in range(512):
+        if sp.tile_count[i] == 0:
+            continue
+        (x0, y0), (x1, y1) = sp.rect_min[i], sp.rect_max[i]
+        A, B, C = sp.conic[i]
+        mx, my = sp.mean2d[i]
+        for ty in range(y0, y1):
+            for tx in range(x0, x1):
+                px = np.arange(tx * TILE, (tx + 1) * TILE)[None, :] - mx
+                py = np.arange(ty * TILE, (ty + 1) * TILE)[:, None] - my
+                power = -0.5 * (A * px * px + C * py * py) - B * px * py
+                amax = (sp.opacity[i] * np.exp(np.minimum(power, 0))
+                        * (power <= 0)).max()
+                b = (min((ty - y0) // max(ch[i], 1), 7) * 8
+                     + min((tx - x0) // max(cw[i], 1), 7))
+                word, sh = ((m0[i], b) if b < 22 else
+                            (m1[i], b - 22) if b < 44 else (m2[i], b - 44))
+                kept = (word >> sh) & 1
+                checked += 1
+                culled += 1 - kept
+                assert kept or amax < ALPHA_MIN, \
+                    f"culled contributing record g={i} tile=({tx},{ty})"
+    assert culled > 0, "expected the cull to drop something"
+
+
+def test_cull_matches_uncull_grads(rng):
+    params, aux, cam = _scene(rng, n=1024)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)),
+                     jnp.float32)
+
+    def loss(p, cfg):
+        img = render(p, cam, BG, config=cfg, alive=aux.alive).render
+        return jnp.sum((img - gt) ** 2)
+
+    g_off = jax.grad(lambda p: loss(p, CFG))(params)
+    g_on = jax.grad(lambda p: loss(p, CFG.replace(cull=True)))(params)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_cull_pallas_interpret_matches_tiled(rng):
+    params, aux, cam = _scene(rng, n=1024)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)),
+                     jnp.float32)
+    ccfg = CFG.replace(cull=True, live_capacity=3 << 14)
+
+    def loss(p, impl):
+        img = render(p, cam, BG, config=ccfg.replace(impl=impl),
+                     alive=aux.alive).render
+        return jnp.sum((img - gt) ** 2), img
+
+    (l_t, img_t), g_t = jax.value_and_grad(
+        lambda p: loss(p, "tiled"), has_aux=True)(params)
+    (l_p, img_p), g_p = jax.value_and_grad(
+        lambda p: loss(p, "pallas"), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_t),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p.xyz), np.asarray(g_t.xyz),
+                               atol=1e-4, rtol=1e-4)
+    # JVP path through the same culled stream
+    tan = jax.tree.map(
+        lambda x: jnp.asarray(rng.normal(0, 1e-3, x.shape), x.dtype), params)
+    _, jv_t = jax.jvp(lambda p: loss(p, "tiled")[1], (params,), (tan,))
+    _, jv_p = jax.jvp(lambda p: loss(p, "pallas_jvp")[1], (params,), (tan,))
+    np.testing.assert_allclose(np.asarray(jv_p), np.asarray(jv_t), atol=1e-5)
+
+
+def test_cull_batched_views(rng):
+    """View-local mask coordinates under the vertically-stacked batch."""
+    params, aux = random_gaussians(rng, n=1024, capacity=1024, num_images=3)
+    cams = ring_camera_batch(3, 96, 128)
+    off = batch_render(params, cams, BG, config=CFG, alive=aux.alive)
+    on = batch_render(params, cams, BG, config=CFG.replace(cull=True),
+                      alive=aux.alive)
+    assert int(on.n_duplicates) < int(off.n_duplicates)
+    np.testing.assert_allclose(np.asarray(on.render),
+                               np.asarray(off.render), atol=1e-6)
+
+
+def test_depth_grad_flag_trims_only_depth(rng):
+    """depth_grad=False must leave image gradients identical and zero the
+    invdepth contribution (pallas backward trim)."""
+    params, aux, cam = _scene(rng, n=512)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)),
+                     jnp.float32)
+    pcfg = CFG.replace(cull=True, impl="pallas")
+
+    def img_loss(p, cfg):
+        return jnp.sum(
+            (render(p, cam, BG, config=cfg, alive=aux.alive).render - gt) ** 2)
+
+    g_full = jax.grad(lambda p: img_loss(p, pcfg))(params)
+    g_trim = jax.grad(
+        lambda p: img_loss(p, pcfg.replace(depth_grad=False)))(params)
+    for a, b in zip(jax.tree.leaves(g_trim), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+    def depth_loss(p, cfg):
+        return jnp.sum(
+            render(p, cam, BG, config=cfg, alive=aux.alive).invdepth)
+
+    g_d = jax.grad(lambda p: depth_loss(p, pcfg.replace(depth_grad=False)))(
+        params)
+    assert float(jnp.max(jnp.abs(g_d.xyz))) == 0.0

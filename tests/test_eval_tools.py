@@ -158,3 +158,28 @@ def test_viewer_protocol():
     frame = np.frombuffer(result["img"], np.uint8).reshape(32, 32, 3)
     assert frame.sum() > 0   # something rendered
     server.disconnect()
+
+
+def test_bool_flags_can_be_disabled_from_cli():
+    """True-default booleans must be switchable off (--no-<flag>); the
+    repo's best LM configuration (xyz unmasked, README) is CLI-reachable.
+    Regression for the store_true/default=True trap."""
+    from argparse import ArgumentParser
+
+    from gslm_tpu import config as cfg_mod
+
+    parser = ArgumentParser()
+    cfg_mod.add_all_args(parser)
+    args = parser.parse_args(
+        ["--no-mask_xyz", "--no-disable_ssim", "--no-check_divergence",
+         "--eval", "--iterations", "7"])
+    assert args.mask_xyz is False
+    assert args.disable_ssim is False
+    assert args.check_divergence is False
+    assert args.eval is True              # False-default still turn-on-able
+    assert args.iterations == 7
+    lm = cfg_mod.extract(args, cfg_mod.LMParams)
+    assert lm.mask_xyz is False and lm.check_divergence is False
+    defaults = parser.parse_args([])
+    assert defaults.mask_xyz is True      # defaults unchanged
+    assert defaults.white_background is False
