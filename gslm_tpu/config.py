@@ -109,6 +109,9 @@ class TpuParams:
     tile_chunk: int = 64
     raster_impl: str = "auto"    # auto | tiled | pallas | ref
     raster_pack: int = 0         # records/row in the Pallas stream (0=env)
+    raster_cull: bool = True     # exact ellipse-tile record culling
+    live_capacity: int = 0       # post-cull record capacity (0 → auto:
+    #                              ~85% of dup_capacity when culling)
     mesh_data: int = 1           # data-parallel axis size (views)
     mesh_model: int = 1          # model-parallel axis size (gaussians)
     cache_dir: str = ""          # persistent XLA compile cache

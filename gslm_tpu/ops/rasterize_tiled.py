@@ -87,6 +87,14 @@ class RasterConfig:
         return (self.live_capacity or self.dup_capacity) if self.cull \
             else self.dup_capacity
 
+    def grow(self, factor: int = 2) -> "RasterConfig":
+        """Overflow-recovery scaling: BOTH capacity ceilings must grow (a
+        doubled dup_capacity alone leaves the post-cull live stream at its
+        old ceiling and the overflow persists)."""
+        return self.replace(
+            dup_capacity=factor * self.dup_capacity,
+            live_capacity=factor * self.live_capacity)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)

@@ -222,6 +222,54 @@ def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
         max_tile_load=jnp.asarray(out["max_tile_load"], jnp.int32))
 
 
+def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
+                   config: RasterConfig = RasterConfig(),
+                   active_sh_degree: int | None = None,
+                   alive: jnp.ndarray | None = None):
+    """P-level duplicate-count probe: would rendering this camera batch
+    overflow ``config``'s record capacities?
+
+    Runs only the per-Gaussian preprocess (+ the cull cell masks when
+    culling is on) — no duplication, sort, or compositing — so it costs
+    O(B·P) elementwise work, cheap enough to gate every LM outer step.
+    The reference instead resizes its CUDA buffers on demand
+    (rasterizer re-allocates per launch); XLA capacities are static, so
+    trainers probe-then-grow (train.py / train_lm.py retry loops).
+
+    Returns dict(n_aabb, n_live, overflow) — n_* are summed over views;
+    overflow mirrors the rasterizer's flag: live total over the effective
+    capacity OR AABB total over dup_capacity."""
+    from gslm_tpu.ops.rasterize_tiled import _cdiv, _cell_masks
+
+    if active_sh_degree is None:
+        active_sh_degree = params.sh_degree
+    batched_cam = Camera(
+        world_view=cameras.world_view, full_proj=cameras.full_proj,
+        campos=cameras.campos, tanfovx=cameras.tanfovx,
+        tanfovy=cameras.tanfovy, exposure_idx=cameras.exposure_idx,
+        height=cameras.height, width=cameras.width)
+    from gslm_tpu.ops.projection import TILE
+    ntx = _cdiv(cameras.width, TILE)
+    nty = _cdiv(cameras.height, TILE)
+
+    def one_view(camera):
+        sp = preprocess(params, camera, active_sh_degree=active_sh_degree,
+                        antialiasing=config.antialiasing, alive=alive)
+        n_aabb = jnp.sum(sp.tile_count)
+        if config.cull:
+            cwb = max(_cdiv(ntx, 8).bit_length(), 1)
+            chb = max(_cdiv(nty, 8).bit_length(), 1)
+            *_, nlive = _cell_masks(sp, nty, cwb, chb)
+            return n_aabb, jnp.sum(nlive)
+        return n_aabb, n_aabb
+
+    n_aabb, n_live = jax.vmap(one_view)(batched_cam)
+    n_aabb, n_live = jnp.sum(n_aabb), jnp.sum(n_live)
+    over = ((n_live > config.eff_capacity())
+            | (n_aabb > config.dup_capacity)).astype(jnp.int32)
+    return {"n_aabb": n_aabb, "n_live": n_live, "overflow": over}
+
+
 # scaling_modifier stays dynamic (traced) so the viewer's slider doesn't
 # trigger a recompile per value.
 _STATIC = ("config", "active_sh_degree", "use_trained_exp", "impl")
@@ -229,3 +277,5 @@ _STATIC = ("config", "active_sh_degree", "use_trained_exp", "impl")
 # Jitted entry points (compile once per (shape, static-config) signature).
 render_jit = jax.jit(render, static_argnames=_STATIC)
 batch_render_jit = jax.jit(batch_render, static_argnames=_STATIC)
+overflow_probe_jit = jax.jit(overflow_probe,
+                             static_argnames=("config", "active_sh_degree"))

@@ -166,7 +166,15 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
              mesh=None):
     """Host driver for one LM iteration: pick windows, run the jitted step.
     With a mesh, the window/val views shard over its "data" axis (the
-    shard_map path — works with the Pallas kernels)."""
+    shard_map path — works with the Pallas kernels).
+
+    Returns (params, info, rcfg): overflow recovery mirrors the first-order
+    loop's retry — the window's record count is probed at P level before
+    the step AND on the accepted parameters after it (densify spikes and
+    line-search moves can both push past capacity), and on overflow the
+    whole outer step re-runs from the pre-step state at doubled capacities
+    (reference train_jvp.py inherits the CUDA rasterizer's on-demand buffer
+    resize; XLA capacities are static)."""
     n = all_train.batch_size
     win = select_window(n, lm.num_images, rng)
     vidx = val_indices(n, lm)
@@ -194,52 +202,64 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     window = jax.tree.map(lambda x: x[jnp.asarray(win)], all_train)
     val = jax.tree.map(lambda x: x[jnp.asarray(vidx)], all_train)
 
-    if mesh is not None:
-        # key includes rcfg: overflow recovery doubles dup_capacity
-        # mid-run and stale compiled steps must not survive it
-        key = (id(mesh), active_sh_degree, rcfg)
-        if key not in _DP_LM_CACHE:
-            kw = dict(rcfg=rcfg, lm=lm, active_sh_degree=active_sh_degree,
-                      use_exp=use_exp, lambda_dssim=lambda_dssim)
-            if mesh.shape.get("model", 1) > 1:
-                from gslm_tpu.parallel import make_mp_lm_step
-                _DP_LM_CACHE[key] = make_mp_lm_step(mesh, params, **kw)
-            else:
-                from gslm_tpu.parallel import make_dp_lm_step
-                _DP_LM_CACHE[key] = make_dp_lm_step(mesh, **kw)
-        ones = lambda n: jnp.ones((n,), jnp.float32)   # noqa: E731
-        wv = win_valid if win_valid is not None else ones(len(win))
-        vv = val_valid if val_valid is not None else ones(len(vidx))
-        params, info = _DP_LM_CACHE[key](params, aux.alive, window, val, bg,
-                                         wv, vv)
+    def run_step(p, cfg):
+        if mesh is not None:
+            # key includes cfg: overflow recovery doubles capacities
+            # mid-run and stale compiled steps must not survive it
+            key = (id(mesh), active_sh_degree, cfg)
+            if key not in _DP_LM_CACHE:
+                kw = dict(rcfg=cfg, lm=lm,
+                          active_sh_degree=active_sh_degree,
+                          use_exp=use_exp, lambda_dssim=lambda_dssim)
+                if mesh.shape.get("model", 1) > 1:
+                    from gslm_tpu.parallel import make_mp_lm_step
+                    _DP_LM_CACHE[key] = make_mp_lm_step(mesh, p, **kw)
+                else:
+                    from gslm_tpu.parallel import make_dp_lm_step
+                    _DP_LM_CACHE[key] = make_dp_lm_step(mesh, **kw)
+            ones = lambda n: jnp.ones((n,), jnp.float32)   # noqa: E731
+            wv = win_valid if win_valid is not None else ones(len(win))
+            vv = val_valid if val_valid is not None else ones(len(vidx))
+            return _DP_LM_CACHE[key](p, aux.alive, window, val, bg, wv, vv)
+        return lm_outer_step(p, aux.alive, window, val, bg,
+                             win_valid, val_valid, rcfg=cfg, lm=lm,
+                             active_sh_degree=active_sh_degree,
+                             use_exp=use_exp, lambda_dssim=lambda_dssim)
+
+    from gslm_tpu.renderer import overflow_probe_jit
+
+    def probe(p, cfg):
+        return int(overflow_probe_jit(
+            p, window, config=cfg, active_sh_degree=active_sh_degree,
+            alive=aux.alive)["overflow"])
+
+    params0 = params
+    for attempt in range(4):
+        if probe(params0, rcfg):
+            rcfg = rcfg.grow()
+            print(f"\n[ITER {iteration}] LM window exceeds record capacity: "
+                  f"growing to dup_capacity={rcfg.dup_capacity}")
+            continue
+        params, info = run_step(params0, rcfg)
+        # the accepted parameters (params0 + alpha*s) can cross the ceiling
+        # the starting point cleared — the step is only valid if they fit
+        if not probe(params, rcfg):
+            break
+        rcfg = rcfg.grow()
+        print(f"\n[ITER {iteration}] LM step overflowed record capacity: "
+              f"re-running at dup_capacity={rcfg.dup_capacity}")
     else:
-        params, info = lm_outer_step(params, aux.alive, window, val, bg,
-                                     win_valid, val_valid,
-                                     rcfg=rcfg, lm=lm,
-                                     active_sh_degree=active_sh_degree,
-                                     use_exp=use_exp,
-                                     lambda_dssim=lambda_dssim)
+        print(f"\n[ITER {iteration}] WARNING: LM overflow persists after "
+              f"retries (dup_capacity={rcfg.dup_capacity}); this step used "
+              f"a degraded render")
+        params, info = run_step(params0, rcfg)
+
     if verbose:
         print(f"\n[ITER {iteration}] LM window {win}: "
               f"loss {float(info['start_loss']):.6f} → val "
               f"{float(info['best_val_loss']):.6f} "
               f"(alpha {float(info['best_alpha']):.3f})")
-
-    # overflow watchdog: the LM residuals drop the raster diagnostics, so
-    # spot-check the window render and warn loudly if the duplicate buffer
-    # saturated (the first-order loop's overflow retry, train.py, will
-    # also have grown rcfg before the LM phase in normal schedules)
-    if iteration % 50 == 0 or iteration == lm.jvp_start:
-        from gslm_tpu.renderer import batch_render_jit
-        out = batch_render_jit(params, window, bg, config=rcfg,
-                               active_sh_degree=active_sh_degree,
-                               use_trained_exp=use_exp, alive=aux.alive)
-        if int(out.overflow):
-            print(f"\n[ITER {iteration}] WARNING: LM window render "
-                  f"overflows dup_capacity={rcfg.dup_capacity} "
-                  f"({int(out.n_duplicates)} records) — raise "
-                  f"--dup_capacity; LM residuals are degraded")
-    return params, info
+    return params, info, rcfg
 
 
 def main():
@@ -267,11 +287,11 @@ def main():
 
     def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
         active_sh = min(iteration // 1000, params.sh_degree)
-        params, info = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
-                                iteration, rng, model.train_test_exp,
-                                opt.lambda_dssim, active_sh, mesh=mesh,
-                                verbose=not getattr(args, "quiet", False))
-        return params, aux, opt_state, info
+        params, info, rcfg = lm_phase(
+            scene, params, aux, all_train, rcfg, bg, lm, iteration, rng,
+            model.train_test_exp, opt.lambda_dssim, active_sh, mesh=mesh,
+            verbose=not getattr(args, "quiet", False))
+        return params, aux, opt_state, info, rcfg
 
     print("Optimizing " + args.model_path + f" (LM from {lm.jvp_start})")
     training(args, lm_phase_hook=hook)

@@ -42,10 +42,10 @@ rng = np.random.default_rng(0)
 
 def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
     active_sh = min(iteration // 1000, params.sh_degree)
-    params, info = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
-                            iteration, rng, model.train_test_exp,
-                            opt.lambda_dssim, active_sh, verbose=False)
-    return params, aux, opt_state, info
+    params, info, rcfg = lm_phase(scene, params, aux, all_train, rcfg, bg,
+                                  lm, iteration, rng, model.train_test_exp,
+                                  opt.lambda_dssim, active_sh, verbose=False)
+    return params, aux, opt_state, info, rcfg
 
 print("device:", jax.devices()[0])
 scene, params, aux, opt_state = training(args, lm_phase_hook=hook)

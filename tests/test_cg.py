@@ -8,6 +8,10 @@ import numpy as np
 
 from gslm_tpu.solver.cg import cgls_damped, cgls_damped_unrolled, conjugate_gradient
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # layer smoke set (README)
+
 
 def vec_dot(a, b, damp=1.0):
     return damp * jnp.vdot(a, b)

@@ -9,6 +9,7 @@ atol 1e-6) for a stage the CUDA pipeline does not have (it keeps the full
 3-sigma rect, SURVEY §2.2).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def _scene(rng, n=2048):
     return params, aux, cam
 
 
+@pytest.mark.smoke
 def test_cull_matches_uncull_forward(rng):
     params, aux, cam = _scene(rng)
     off = render(params, cam, BG, config=CFG, alive=aux.alive)
@@ -193,3 +195,25 @@ def test_depth_grad_flag_trims_only_depth(rng):
     g_d = jax.grad(lambda p: depth_loss(p, pcfg.replace(depth_grad=False)))(
         params)
     assert float(jnp.max(jnp.abs(g_d.xyz))) == 0.0
+
+
+def test_overflow_probe_matches_render_totals(rng):
+    """The P-level probe (preprocess-only) must agree exactly with the
+    rasterizer's own duplicate totals, culled and unculled, single and
+    batched — it gates the LM overflow retry (train_lm.lm_phase)."""
+    from gslm_tpu.renderer import overflow_probe_jit
+    from tests.utils import ring_camera_batch
+
+    params, aux = random_gaussians(rng, n=1024, capacity=1024, num_images=3)
+    cams = ring_camera_batch(3, 96, 128)
+    off = batch_render(params, cams, BG, config=CFG, alive=aux.alive)
+    on = batch_render(params, cams, BG, config=CFG.replace(cull=True),
+                      alive=aux.alive)
+    probe = overflow_probe_jit(params, cams, config=CFG.replace(cull=True),
+                               alive=aux.alive)
+    assert int(probe["n_aabb"]) == int(off.n_duplicates)
+    assert int(probe["n_live"]) == int(on.n_duplicates)
+    assert int(probe["overflow"]) == 0
+    tiny = CFG.replace(cull=True, live_capacity=int(probe["n_live"]) // 2)
+    assert int(overflow_probe_jit(params, cams, config=tiny,
+                                  alive=aux.alive)["overflow"]) == 1

@@ -11,6 +11,7 @@ from gslm_tpu.data.ply import (fetch_point_cloud, load_gaussians_ply,
                                read_ply, save_gaussians_ply, store_point_cloud)
 
 
+@pytest.mark.smoke
 def test_point_cloud_ply_roundtrip(tmp_path, rng):
     xyz = rng.normal(size=(17, 3))
     rgb = rng.integers(0, 255, (17, 3))
@@ -135,6 +136,7 @@ def test_scene_save_and_reload(tmp_path):
         np.asarray(scene.params.xyz)[:live], atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_blender_reader_roundtrip(tmp_path):
     """Synthetic transforms_train.json scene through read_blender_scene
     (reference readNerfSyntheticInfo, dataset_readers.py:228-310): axes
@@ -180,6 +182,7 @@ def test_blender_reader_roundtrip(tmp_path):
     np.testing.assert_array_equal(info2.points, info.points)
 
 
+@pytest.mark.smoke
 def test_make_depth_scale_recovers_affine(tmp_path):
     """Synthetic mono-depth = known affine of COLMAP sparse depth: the
     median/MAD alignment must recover (scale, offset) (reference

@@ -160,6 +160,7 @@ def test_viewer_protocol():
     server.disconnect()
 
 
+@pytest.mark.smoke
 def test_bool_flags_can_be_disabled_from_cli():
     """True-default booleans must be switchable off (--no-<flag>); the
     repo's best LM configuration (xyz unmasked, README) is CLI-reachable.

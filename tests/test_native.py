@@ -5,6 +5,8 @@ import pytest
 
 from gslm_tpu import native
 
+pytestmark = pytest.mark.smoke  # layer smoke set (README)
+
 
 @pytest.fixture(scope="module")
 def lib_ok():

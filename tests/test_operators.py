@@ -4,6 +4,7 @@ render+residual pipeline (the reference's tests/test_matvec.py idea:
 full Gauss-Newton step reducing the loss on a synthetic fit (reference
 solver/test_cg.py)."""
 
+import pytest
 import functools
 
 import jax
@@ -87,6 +88,7 @@ def test_group_mask_zeroes_groups(rng):
     assert float(jnp.abs(g.opacity).max()) > 0.0
 
 
+@pytest.mark.smoke
 def test_gauss_newton_step_reduces_loss(rng):
     """One LM outer step with the reference's CG defaults on the real
     pipeline must reduce the residual loss (train_jvp.py:221-280 anatomy)."""

@@ -31,6 +31,7 @@ def test_preprocess_finite(rng):
     assert bool(sp.visible.any()), "expected some visible gaussians"
 
 
+@pytest.mark.smoke
 def test_tiled_matches_ref(rng):
     params, aux = random_gaussians(rng, n=256)
     cam = camera_from_meta(make_camera(height=72, width=96, angle=0.3))

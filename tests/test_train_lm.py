@@ -32,8 +32,9 @@ def test_lm_phase_reduces_loss(tmp_path):
 
     losses = []
     for it in range(4):
-        params, info = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
-                                it, rng, False, 0.2, 0, verbose=False)
+        params, info, rcfg = lm_phase(scene, params, aux, all_train, rcfg,
+                                      bg, lm, it, rng, False, 0.2, 0,
+                                      verbose=False)
         losses.append(float(info["best_val_loss"]))
     assert losses[-1] < losses[0] * 0.7, losses
     # xyz was NOT masked here: step must include xyz movement
@@ -56,9 +57,9 @@ def test_lm_mask_xyz_freezes_positions(tmp_path):
     lm = cfg_mod.LMParams(num_images=2, num_val_views=4, val_view_stride=1,
                           mask_xyz=True)
     params0 = scene.params
-    params, info = lm_phase(scene, params0, scene.aux, all_train, rcfg,
-                            jnp.zeros(3), lm, 0, np.random.default_rng(0),
-                            False, 0.2, 0, verbose=False)
+    params, info, _ = lm_phase(scene, params0, scene.aux, all_train, rcfg,
+                               jnp.zeros(3), lm, 0, np.random.default_rng(0),
+                               False, 0.2, 0, verbose=False)
     # xyz frozen by the group mask (reference default, train_jvp.py:221-228)
     np.testing.assert_array_equal(np.asarray(params.xyz),
                                   np.asarray(params0.xyz))
@@ -86,10 +87,59 @@ def test_two_phase_cli_e2e(tmp_path):
 
     def hook(scene, params, aux, opt_state, iteration, all_train, rcfg, bg):
         lm_iters.append(iteration)
-        params, _ = lm_phase(scene, params, aux, all_train, rcfg, bg, lm,
-                             iteration, rng, model.train_test_exp,
-                             opt.lambda_dssim, 0, verbose=False)
-        return params, aux, opt_state
+        params, _, rcfg = lm_phase(scene, params, aux, all_train, rcfg, bg,
+                                   lm, iteration, rng, model.train_test_exp,
+                                   opt.lambda_dssim, 0, verbose=False)
+        return params, aux, opt_state, None, rcfg
 
     scene, params, aux, _ = training(args, lm_phase_hook=hook)
     assert lm_iters and lm_iters[0] == 21 and lm_iters[-1] == 30
+
+
+def test_lm_overflow_retry_grows_capacity(tmp_path):
+    """Forcing an undersized record buffer mid-LM-phase must trigger the
+    probe-and-grow retry (VERDICT r2 weak #5): the returned rcfg has grown
+    capacities, the step still reduces the val loss, and a roomy config is
+    left untouched."""
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.renderer import overflow_probe_jit
+    from gslm_tpu.train_lm import lm_phase
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=4)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    all_train = batch_from_metas(scene.get_train_cameras())
+    lm = cfg_mod.LMParams(num_images=2, num_val_views=4, val_view_stride=1)
+    bg = jnp.zeros(3)
+    rng = np.random.default_rng(0)
+
+    # size the starvation so ONE doubling fits: need/2 < cap <= need
+    roomy = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    window = __import__("jax").tree.map(lambda x: x[:2], all_train)
+    need = int(overflow_probe_jit(scene.params, window, config=roomy,
+                                  alive=scene.aux.alive)["n_aabb"])
+    small = roomy.replace(dup_capacity=(need // 2 + 1 + 7) // 8 * 8,
+                          live_capacity=(need // 2 + 1 + 7) // 8 * 8)
+
+    params, info, grown = lm_phase(scene, scene.params, scene.aux, all_train,
+                                   small, bg, lm, 0, rng, False, 0.2, 0,
+                                   verbose=False)
+    assert grown.dup_capacity >= 2 * small.dup_capacity
+    assert grown.live_capacity == grown.dup_capacity \
+        or grown.live_capacity >= 2 * small.live_capacity
+    # start_loss is over the 2-view window, best_val_loss over the 4 val
+    # views — not comparable; loss reduction is pinned by
+    # test_lm_phase_reduces_loss. Here: the step ran on the grown config
+    # and produced finite, real movement.
+    assert np.isfinite(float(info["best_val_loss"]))
+    assert not np.array_equal(np.asarray(params.features_dc),
+                              np.asarray(scene.params.features_dc))
+    # a sufficient config passes through unchanged
+    _, _, same = lm_phase(scene, scene.params, scene.aux, all_train, roomy,
+                          bg, lm, 1, np.random.default_rng(1), False, 0.2, 0,
+                          verbose=False)
+    assert same == roomy
