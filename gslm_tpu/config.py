@@ -114,6 +114,9 @@ class TpuParams:
     #                              ~85% of dup_capacity when culling)
     mesh_data: int = 1           # data-parallel axis size (views)
     mesh_model: int = 1          # model-parallel axis size (gaussians)
+    mp_route_capacity: int = 0   # routed-record capacity per (src, dst)
+    #                              shard pair in the model-parallel raster
+    #                              exchange; 0 → all_gather all splats
     cache_dir: str = ""          # persistent XLA compile cache
 
 

@@ -42,7 +42,8 @@ from gslm_tpu.struct import pytree_dataclass
 
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
                                  "antialiasing", "impl", "pack", "cull",
-                                 "live_capacity", "depth_grad"))
+                                 "live_capacity", "depth_grad",
+                                 "mp_route_capacity"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -82,18 +83,25 @@ class RasterConfig:
     cull: bool = True
     live_capacity: int = 0          # 0 → dup_capacity
     depth_grad: bool = True
+    mp_route_capacity: int = 0      # model-parallel raster: per-source-shard
+    #                                 routed-record capacity (records each
+    #                                 shard may send to ONE band owner);
+    #                                 0 → all_gather every shard's splats
+    #                                 (parallel/model_raster.py)
 
     def eff_capacity(self) -> int:
         return (self.live_capacity or self.dup_capacity) if self.cull \
             else self.dup_capacity
 
     def grow(self, factor: int = 2) -> "RasterConfig":
-        """Overflow-recovery scaling: BOTH capacity ceilings must grow (a
-        doubled dup_capacity alone leaves the post-cull live stream at its
-        old ceiling and the overflow persists)."""
+        """Overflow-recovery scaling: EVERY capacity ceiling must grow (a
+        doubled dup_capacity alone leaves the post-cull live stream or the
+        routed-record buffers at their old ceilings and the overflow
+        persists)."""
         return self.replace(
             dup_capacity=factor * self.dup_capacity,
-            live_capacity=factor * self.live_capacity)
+            live_capacity=factor * self.live_capacity,
+            mp_route_capacity=factor * self.mp_route_capacity)
 
 
 def _cdiv(a: int, b: int) -> int:

@@ -30,9 +30,20 @@ permitted deviation is depth-tie ordering: gathered Gaussians are
 shard-major, so equal-depth splats may swap — measure-zero for real
 scenes.)
 
-A record-level all_to_all (sending only each band's surviving (tile,
-splat) records instead of all splats) is the next refinement; at P=131k
-the full splat gather is ~8 MB over ICI and far from the bottleneck.
+Two exchange strategies (``RasterConfig.mp_route_capacity``):
+
+* ``0`` — all_gather every shard's projected splats (fine at small P:
+  ~8 MB over ICI at 131k; O(P) per-device memory and preprocess-dup work).
+* ``R > 0`` — record-level routing (SURVEY §2.3 "all-to-all by tile
+  ownership"): each shard compacts, per destination band, only its splats
+  whose tile rect intersects that band and ships them in ONE all_to_all of
+  (M, R, fields); every other shard's non-band splats never land on this
+  device. Per-device exchange bytes drop from P·f to M·R·f (R is a static
+  per-(src,dst) capacity; the routed count is band-local, ~P/M + boundary
+  stragglers, so R ≈ 2·Pl/M has slack). The backward transposes
+  automatically: all_to_all is self-transposing and the compaction gather
+  becomes a scatter-add into the source shard's rows — gradients stay
+  owner-resident, parameters are never replicated in either mode.
 """
 
 from __future__ import annotations
@@ -50,6 +61,97 @@ from gslm_tpu.ops.rasterize_tiled import RasterConfig, _cdiv
 def band_rows(height: int, n_model: int) -> int:
     """Tile rows per model shard (static)."""
     return _cdiv(_cdiv(height, TILE), n_model)
+
+
+def exchange_bytes(Bd: int, Pl: int, n_model: int,
+                   route_capacity: int) -> int:
+    """Per-device splat-exchange traffic (bytes) of the two strategies:
+    all_gather ships Bd·(M·Pl) full splat rows; routing ships M·R routed
+    records. Logged at trace time so runs record both paths' cost."""
+    splat_row = (2 + 3 + 3 + 1 + 1 + 1) * 4 + (1 + 2 + 2 + 1 + 1) * 4
+    record_row = (2 + 3 + 3 + 1 + 1 + 1) * 4 + 4 * 4 + 4 + 4
+    if route_capacity > 0:
+        return n_model * route_capacity * record_row
+    return Bd * n_model * Pl * splat_row
+
+
+def _route_band_splats(sv_local, R: int, bh: int, n_model: int,
+                       model_axis: str, band_lo):
+    """Record-level splat routing (SURVEY §2.3 "all-to-all by tile
+    ownership"): ship each local (view, splat) record only to the model
+    shards whose tile-row band its rect intersects.
+
+    For each destination band d the local survivors are compacted into a
+    fixed-capacity row block via cumsum positions + one scatter; a single
+    ``all_to_all`` then exchanges the (M, R, fields) blocks, so this device
+    receives ≤ M·R records instead of the P-row gather. Records straddling
+    a band boundary go to BOTH owners (their gradients sum over
+    destinations through the gather transpose, which is exactly the band
+    partials' sum). Invalid rows carry opacity 0 / empty rects → the
+    duplicate stage drops them, and a dropped record's cotangents are
+    identically zero, so the slack rows never touch gradients.
+
+    Returns (band-local flat Splats2D of length M·R, overflow flag (this
+    sender's worst per-destination count vs R; pmax'd by the caller's
+    diags reduction)). The reference has no analog — its whole P axis is
+    resident on one GPU (scene/gaussian_model.py:256-266)."""
+    Bd, Pl = sv_local.mean2d.shape[:2]
+    M = n_model
+    N = Bd * Pl
+
+    fl = jax.tree.map(lambda x: x.reshape((N,) + x.shape[2:]), sv_local)
+    viewid = jnp.arange(N, dtype=jnp.int32) // Pl
+    vis = fl.visible & (fl.tile_count > 0)
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+
+    idx_rows, counts = [], []
+    for d in range(M):
+        m_d = vis & (fl.rect_max[:, 1] > d * bh) \
+            & (fl.rect_min[:, 1] < (d + 1) * bh)
+        pos = jnp.where(m_d, jnp.cumsum(m_d.astype(jnp.int32)) - 1, R)
+        idx_rows.append(jnp.full((R,), -1, jnp.int32)
+                        .at[pos].set(iota_n, mode="drop"))
+        counts.append(jnp.sum(m_d.astype(jnp.int32)))
+    idx = jnp.stack(idx_rows)                     # (M, R)
+    counts = jnp.stack(counts)                    # (M,)
+    valid = idx >= 0
+    g = jnp.maximum(idx, 0)
+
+    send = {
+        "mean2d": fl.mean2d[g], "conic": fl.conic[g], "color": fl.color[g],
+        "opacity": jnp.where(valid, fl.opacity[g], 0.0),
+        "depth": jnp.where(valid, fl.depth[g], jnp.inf),
+        "invdepth": fl.invdepth[g],
+        "rect": jnp.where(valid[..., None], jnp.concatenate(
+            [fl.rect_min[g], fl.rect_max[g]], axis=-1), 0),
+        "view": jnp.where(valid, viewid[g], 0),
+        "valid": valid.astype(jnp.int32),
+    }
+    rx = jax.tree.map(
+        lambda x: jax.lax.all_to_all(
+            x.reshape((M * R,) + x.shape[2:]), model_axis,
+            split_axis=0, concat_axis=0, tiled=True),
+        send)                                     # (M*R, ...): shard-major
+
+    x0r, y0r = rx["rect"][:, 0], rx["rect"][:, 1]
+    x1r, y1r = rx["rect"][:, 2], rx["rect"][:, 3]
+    y0b = jnp.clip(y0r, band_lo, band_lo + bh) - band_lo
+    y1b = jnp.clip(y1r, band_lo, band_lo + bh) - band_lo
+    tc = jnp.maximum(x1r - x0r, 0) * jnp.maximum(y1b - y0b, 0)
+    viz = (rx["valid"] > 0) & (tc > 0)
+    yshift = (band_lo * TILE).astype(jnp.float32)
+    mean2d = jnp.stack([rx["mean2d"][:, 0], rx["mean2d"][:, 1] - yshift], -1)
+    v = rx["view"]
+    splats = Splats2D(
+        mean2d=mean2d, conic=rx["conic"], color=rx["color"],
+        opacity=jnp.where(viz, rx["opacity"], 0.0),
+        depth=jnp.where(viz, rx["depth"], jnp.inf),
+        invdepth=rx["invdepth"],
+        radius=jnp.zeros((M * R,), sv_local.radius.dtype),
+        rect_min=jnp.stack([x0r, y0b + v * bh], -1),
+        rect_max=jnp.stack([x1r, y1b + v * bh], -1),
+        tile_count=jnp.where(viz, tc, 0), visible=viz)
+    return splats, (jnp.max(counts) > R).astype(jnp.int32)
 
 
 def mp_render_views(params_local: GaussianParams, cameras: CameraBatch,
@@ -99,38 +201,51 @@ def mp_render_views(params_local: GaussianParams, cameras: CameraBatch,
     sv_local = jax.vmap(pre_view)(batched_cam)    # (Bd, Pl, ...)
     radii_local = sv_local.radius                 # for densify/visibility
 
-    # ---- gather splats over the model axis (activations, not params) ----
-    sv = jax.tree.map(
-        lambda x: jax.lax.all_gather(x, model_axis, axis=1, tiled=True),
-        sv_local)                                 # (Bd, P, ...)
+    Pl = params_local.xyz.shape[0]
+    print(f"[mp raster] splat exchange: "
+          f"{'route' if config.mp_route_capacity else 'all_gather'} "
+          f"{exchange_bytes(Bd, Pl, n_model, config.mp_route_capacity)} "
+          f"B/device (gather would be "
+          f"{exchange_bytes(Bd, Pl, n_model, 0)} B)")
+    route_overflow = jnp.int32(0)
+    if config.mp_route_capacity > 0:
+        splats, route_overflow = _route_band_splats(
+            sv_local, config.mp_route_capacity, bh, n_model, model_axis,
+            band_lo)
+    else:
+        # ---- gather splats over the model axis (activations, not params)
+        sv = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, model_axis, axis=1, tiled=True),
+            sv_local)                             # (Bd, P, ...)
 
-    # ---- clip rects to my band; shift to band-local coordinates ---------
-    x0 = sv.rect_min[..., 0]
-    y0 = jnp.clip(sv.rect_min[..., 1], band_lo, band_lo + bh) - band_lo
-    x1 = sv.rect_max[..., 0]
-    y1 = jnp.clip(sv.rect_max[..., 1], band_lo, band_lo + bh) - band_lo
-    tile_count = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
-    visible = sv.visible & (tile_count > 0)
-    yshift = (band_lo * TILE).astype(jnp.float32)
-    mean2d = jnp.stack([sv.mean2d[..., 0], sv.mean2d[..., 1] - yshift], -1)
+        # ---- clip rects to my band; shift to band-local coordinates -----
+        x0 = sv.rect_min[..., 0]
+        y0 = jnp.clip(sv.rect_min[..., 1], band_lo, band_lo + bh) - band_lo
+        x1 = sv.rect_max[..., 0]
+        y1 = jnp.clip(sv.rect_max[..., 1], band_lo, band_lo + bh) - band_lo
+        tile_count = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+        visible = sv.visible & (tile_count > 0)
+        yshift = (band_lo * TILE).astype(jnp.float32)
+        mean2d = jnp.stack([sv.mean2d[..., 0], sv.mean2d[..., 1] - yshift],
+                           -1)
 
-    # ---- stack the Bd per-view bands vertically (renderer.batch_render
-    # pattern: view-disjoint tile rows, one sort) ----
-    voff = jnp.arange(Bd, dtype=jnp.int32)[:, None]
-    rect_min = jnp.stack([x0, y0 + voff * bh], axis=-1)
-    rect_max = jnp.stack([x1, y1 + voff * bh], axis=-1)
+        # ---- stack the Bd per-view bands vertically (renderer.batch_render
+        # pattern: view-disjoint tile rows, one sort) ----
+        voff = jnp.arange(Bd, dtype=jnp.int32)[:, None]
+        rect_min = jnp.stack([x0, y0 + voff * bh], axis=-1)
+        rect_max = jnp.stack([x1, y1 + voff * bh], axis=-1)
 
-    def flat(x):
-        return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+        def flat(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
-    splats = Splats2D(
-        mean2d=flat(mean2d), conic=flat(sv.conic), color=flat(sv.color),
-        opacity=flat(jnp.where(visible, sv.opacity, 0.0)),
-        depth=flat(jnp.where(visible, sv.depth, jnp.inf)),
-        invdepth=flat(sv.invdepth), radius=flat(sv.radius),
-        rect_min=flat(rect_min), rect_max=flat(rect_max),
-        tile_count=flat(jnp.where(visible, tile_count, 0)),
-        visible=flat(visible))
+        splats = Splats2D(
+            mean2d=flat(mean2d), conic=flat(sv.conic), color=flat(sv.color),
+            opacity=flat(jnp.where(visible, sv.opacity, 0.0)),
+            depth=flat(jnp.where(visible, sv.depth, jnp.inf)),
+            invdepth=flat(sv.invdepth), radius=flat(sv.radius),
+            rect_min=flat(rect_min), rect_max=flat(rect_max),
+            tile_count=flat(jnp.where(visible, tile_count, 0)),
+            visible=flat(visible))
 
     stacked_h = Bd * bh * TILE
     if resolve_impl(impl) in ("pallas", "pallas_jvp"):
@@ -155,7 +270,8 @@ def mp_render_views(params_local: GaussianParams, cameras: CameraBatch,
     image = jnp.clip(image, 0.0, 1.0)
 
     diags = {"n_duplicates": out["n_duplicates"],
-             "overflow": out["overflow"],
+             "overflow": jnp.maximum(jnp.asarray(out["overflow"], jnp.int32),
+                                     route_overflow),
              "max_tile_load": out["max_tile_load"]}
     return image, invd, radii_local, diags
 

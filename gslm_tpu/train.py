@@ -51,7 +51,8 @@ def make_raster_config(tpu: cfg_mod.TpuParams, pipe: cfg_mod.PipelineParams,
                         impl=tpu.raster_impl,
                         pack=tpu.raster_pack,
                         cull=tpu.raster_cull,
-                        live_capacity=live)
+                        live_capacity=live,
+                        mp_route_capacity=tpu.mp_route_capacity)
 
 
 @functools.partial(

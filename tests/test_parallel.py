@@ -382,3 +382,110 @@ def test_dp_lm_step_with_padded_window_matches_single(tiny):
                            float(ref_info["best_val_loss"]), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(got_p.xyz),
                                    np.asarray(ref_p.xyz), atol=1e-5)
+
+
+# --- record-level all_to_all routing (SURVEY §2.3 splat-list all-to-all) ---
+
+RCFG_ROUTE = RCFG.replace(mp_route_capacity=256)
+
+
+def test_mp_route_train_step_matches_single(tiny):
+    """Routed-exchange model-parallel Adam step vs single device: only
+    band-surviving records cross shards (one all_to_all), params never
+    replicated, grads owner-resident via the compaction-gather transpose."""
+    params, aux, cams = tiny
+    opt = cfg_mod.OptimizationParams()
+    opt_state = init_adam(params)
+    bg = jnp.zeros(3)
+    args = (bg, jnp.int32(1), jnp.float32(1.0), jnp.float32(0.1))
+    kw = dict(rcfg=RCFG, opt=opt, active_sh_degree=3, use_exp=False,
+              sparse_adam=False, update_stats=True)
+
+    ref_p, ref_aux, ref_opt, ref_m = train_step(
+        params, aux, opt_state, cams, *args, **kw)
+
+    from gslm_tpu.parallel import make_mp_train_step
+    mesh = make_mesh(2, 2)
+    kw["rcfg"] = RCFG_ROUTE
+    step_fn = make_mp_train_step(mesh, params, opt_state, **kw)
+    got_p, got_aux, got_opt, got_m = step_fn(params, aux, opt_state, cams,
+                                             *args)
+    assert np.allclose(float(got_m["loss"]), float(ref_m["loss"]), atol=1e-6)
+    assert int(got_m["overflow"]) == 0
+    for g in ("xyz", "scaling", "opacity", "rotation", "exposure"):
+        np.testing.assert_allclose(np.asarray(getattr(got_p, g)),
+                                   np.asarray(getattr(ref_p, g)),
+                                   atol=1e-5, err_msg=g)
+    np.testing.assert_allclose(np.asarray(got_aux.xyz_gradient_accum),
+                               np.asarray(ref_aux.xyz_gradient_accum),
+                               atol=1e-5)
+
+
+def test_mp_route_lm_step_matches_single(tiny):
+    params, aux, cams = tiny
+    bg = jnp.zeros(3)
+    lm = cfg_mod.LMParams(cg_max_iter=1, cg_restart_iter=1,
+                          line_search_steps=2, num_val_views=4)
+    ref_p, ref_info = lm_outer_step(params, aux.alive, cams, cams, bg,
+                                    rcfg=RCFG, lm=lm, active_sh_degree=3,
+                                    use_exp=False)
+
+    from gslm_tpu.parallel import make_mp_lm_step
+    mesh = make_mesh(2, 2)
+    lm_fn = make_mp_lm_step(mesh, params, rcfg=RCFG_ROUTE, lm=lm,
+                            active_sh_degree=3, use_exp=False)
+    ones4 = jnp.ones(4, jnp.float32)
+    got_p, got_info = lm_fn(params, aux.alive, cams, cams, bg, ones4, ones4)
+    assert np.allclose(float(got_info["best_val_loss"]),
+                       float(ref_info["best_val_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p.xyz), np.asarray(ref_p.xyz),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p.scaling),
+                               np.asarray(ref_p.scaling), atol=1e-5)
+
+
+def test_mp_route_overflow_flag_and_bytes(tiny):
+    """An undersized route capacity must raise the overflow diagnostic
+    (never silently drop records), and the routed exchange must move
+    fewer bytes per device than the all_gather it replaces."""
+    from jax.sharding import PartitionSpec as P
+
+    from gslm_tpu.parallel.model_raster import (exchange_bytes,
+                                                mp_render_views)
+    from gslm_tpu.parallel.steps import _mp_specs
+    from gslm_tpu.renderer import batch_render
+
+    params, aux, cams = tiny
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    ref = batch_render(params, cams, bg, config=RCFG, alive=aux.alive)
+    mesh = make_mesh(2, 2)
+    p_spec, a_spec, _ = _mp_specs(mesh, params, init_adam(params))
+
+    from jax.experimental.shard_map import shard_map
+
+    def run(cfg):
+        def body(p_l, alive_l, cam):
+            img, invd, radii, diags = mp_render_views(
+                p_l, cam, bg, config=cfg, n_model=2, alive_local=alive_l)
+            return img, invd, jax.lax.pmax(diags["overflow"],
+                                           ("data", "model"))
+        fn = jax.jit(shard_map(
+            body, mesh=mesh, in_specs=(p_spec, P("model"), P("data")),
+            out_specs=(P("data", None, "model"), P("data", None, "model"),
+                       P()),
+            check_rep=False))
+        return fn(params, aux.alive, cams)
+
+    img, invd, over = run(RCFG_ROUTE)
+    assert int(over) == 0
+    H = cams.height
+    np.testing.assert_allclose(np.asarray(img[:, :, :H]),
+                               np.asarray(ref.render), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(invd[:, :, :H]),
+                               np.asarray(ref.invdepth), atol=1e-6)
+
+    _, _, over_small = run(RCFG.replace(mp_route_capacity=8))
+    assert int(over_small) == 1
+
+    Bd, Pl = 2, params.xyz.shape[0] // 2
+    assert exchange_bytes(Bd, Pl, 2, 256) < exchange_bytes(Bd, Pl, 2, 0)
