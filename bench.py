@@ -5,9 +5,20 @@ synthetic 128k-Gaussian cloud on one chip. Baseline: the reference's only
 concrete rate claim — real-time rendering >= 30 fps at 1080p on an
 RTX-class GPU (reference README.md:14) = 62.208e6 rays/s.
 
-Extra sub-metrics (reference tests/test_jvp_timing.py analog): fwd+bwd
-rays/s through jax.grad of the training loss, and LM operator throughput
-(J.v JVP matvecs/s, J^T.u VJP matvecs/s).
+Sub-metrics (the honest training comparators, VERDICT r2 weak #2):
+  - fwd+bwd rays/s through jax.grad of the training loss;
+  - adam_iter_ms: one full jitted Adam training iteration (render + loss +
+    backward + optimizer + densify stats) at 1080p — comparator: the
+    A6000's ~65 ms/iter implied by the reference's 7 h / 13-scene eval
+    (README.md:271, 390k iterations);
+  - LM operator throughput (J.v / J^T.u matvecs/s) and the FULL LM outer
+    step at reference settings (window 5 @1080p, 50 val views x 7
+    line-search alphas, cg 2 — train_jvp.py:428-429,255-256,214-216) with
+    a stage breakdown: line-search cost (ls1 = 1-alpha variant) and the
+    check_divergence recompute cost (nodiv variant);
+  - a million-Gaussian configuration (P=2^20 @1080p, pack=8 record
+    stream) probing the reference's multi-million-splat envelope
+    (README.md:88).
 
 Usage: python bench.py [--quick]
 """
@@ -16,12 +27,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_S = 30.0 * 1920 * 1080   # reference README.md:14
+A6000_ITER_MS = 65.0                       # README.md:271: 7h/390k iters
 
 
 def _time_calls(fn, args, iters: int, warmup: int = 2) -> float:
@@ -44,35 +57,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes (CI/CPU smoke)")
+    ap.add_argument("--skip_1m", action="store_true",
+                    help="skip the million-Gaussian config")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from gslm_tpu import config as cfg_mod
     from gslm_tpu.models.cameras import camera_from_meta
+    from gslm_tpu.optim import init_adam
     from gslm_tpu.ops.rasterize_tiled import RasterConfig
     from gslm_tpu.renderer import render
     from gslm_tpu.solver.residuals import batch_residuals
+    from gslm_tpu.train import train_step
+    from gslm_tpu.train_lm import lm_outer_step
     from gslm_tpu.utils.synthetic import (make_camera, random_gaussians,
                                           ring_camera_batch)
 
+    on_tpu = jax.default_backend() == "tpu"
     if args.quick:
         n_gauss, H, W, iters = 4096, 256, 256, 5
-        lm_views, lm_hw = 2, 128
+        lm_views, lm_hw, lm_val = 2, 128, 2
         cfg = RasterConfig(dup_capacity=1 << 15, max_per_tile=256,
-                           tile_chunk=16, impl="auto")
+                           tile_chunk=16, impl="auto",
+                           live_capacity=(1 << 15) - (1 << 12))
     else:
         n_gauss, H, W, iters = 131_072, 1080, 1920, 10
-        lm_views, lm_hw = 2, 540
-        # capacity: bench scene peaks ~1.27M records with the
-        # opacity-aware AABB rects; sort/scatter/cumsum costs scale with
-        # the static capacity, so keep a ~25% margin rather than 2^21
+        lm_views, lm_hw, lm_val = 5, 1080, 50
+        # capacity: bench scene peaks ~1.27M AABB records with the
+        # opacity-aware rects; exact culling survives ~82% of that, so the
+        # post-sort stream gets its own (smaller) ceiling
         cfg = RasterConfig(dup_capacity=1_638_400, max_per_tile=1024,
-                           tile_chunk=64, impl="auto")
+                           tile_chunk=64, impl="auto",
+                           live_capacity=1_280_000)
 
     rng = np.random.default_rng(0)
     params, aux = random_gaussians(rng, n=n_gauss, capacity=n_gauss,
-                                   num_images=max(lm_views, 1), spread=1.5,
+                                   num_images=max(lm_views, 50), spread=1.5,
                                    scale_range=(-5.5, -3.5))
     camera = camera_from_meta(make_camera(height=H, width=W))
     bg = jnp.zeros(3, jnp.float32)
@@ -84,7 +106,7 @@ def main():
     # lowering is checked numerically, so the bench doubles as the
     # hardware parity record (VERDICT r1 weak #5).
     parity_ok = True
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         pp, pa = random_gaussians(np.random.default_rng(7), n=2048,
                                   capacity=2048, num_images=1)
         pcam = camera_from_meta(make_camera(height=160, width=192))
@@ -139,16 +161,30 @@ def main():
     t_fb = _time_calls(fwd_bwd, (params, camera, bg, gt), max(iters // 2, 3))
     rays_fb = H * W / t_fb
 
-    # ---- LM operators (tests/test_jvp_timing.py analog) ----------------
-    lm_cams = ring_camera_batch(lm_views, lm_hw, lm_hw)
+    # ---- full Adam training iteration (A6000 ~65 ms/iter comparator) ---
+    cam1 = ring_camera_batch(1, H, W)
+    opt = cfg_mod.OptimizationParams()
+    opt_state = init_adam(params)
+    adam_args = (params, aux, opt_state, cam1, bg, jnp.int32(100),
+                 jnp.float32(1.0), jnp.float32(0.0))
+    adam_kw = dict(rcfg=cfg, opt=opt, active_sh_degree=3, use_exp=False,
+                   sparse_adam=False, update_stats=True)
+    t_adam = _time_calls(lambda *a: train_step(*a, **adam_kw), adam_args,
+                         max(iters // 2, 3))
+
+    # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
+    lmv = 2 if args.quick else 2
+    lm_cams_small = ring_camera_batch(lmv, lm_hw if args.quick else 540,
+                                      lm_hw if args.quick else 540)
     lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
                           max_per_tile=cfg.max_per_tile,
-                          tile_chunk=cfg.tile_chunk, impl=cfg.impl)
+                          tile_chunk=cfg.tile_chunk, impl=cfg.impl,
+                          live_capacity=cfg.live_capacity // 2)
 
     from gslm_tpu.renderer import resolve_impl
 
     def residual_fn(p):
-        return batch_residuals(p, lm_cams, bg, config=lm_cfg,
+        return batch_residuals(p, lm_cams_small, bg, config=lm_cfg,
                                disable_ssim=True, alive=aux.alive)
 
     residual_fn_jvp = None
@@ -156,7 +192,7 @@ def main():
         jcfg = lm_cfg.replace(impl="pallas_jvp")
 
         def residual_fn_jvp(p):
-            return batch_residuals(p, lm_cams, bg, config=jcfg,
+            return batch_residuals(p, lm_cams_small, bg, config=jcfg,
                                    disable_ssim=True, alive=aux.alive)
 
     # J.v / J^T.u with the linearization traced INSIDE the jit: jitting a
@@ -172,6 +208,81 @@ def main():
     u = matvec(params, v)
     t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
 
+    # ---- FULL LM outer step at reference settings (SURVEY §3.2) --------
+    # window 5 @1080p, 50 val views x 7 line-search alphas, cg 2:
+    # the cost anatomy the LM phase must win at. Stage breakdown via two
+    # variants: ls1 (single line-search alpha) isolates the line search,
+    # nodiv (check_divergence off) isolates the CGLS true-residual
+    # recompute (solver/cg.py:171-180).
+    lm_win = jax.tree.map(lambda x: x[:lm_views],
+                          ring_camera_batch(lm_views, H, W))
+    lm_valb = ring_camera_batch(lm_val, H, W, gt_seed=1)
+    # 5-view fused window: ~5x the single-view record stream
+    win_cfg = RasterConfig(
+        dup_capacity=cfg.dup_capacity * lm_views, max_per_tile=2048,
+        tile_chunk=cfg.tile_chunk, impl=cfg.impl, pack=8 if on_tpu else 0,
+        live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
+    lm_full = cfg_mod.LMParams()          # reference defaults
+    lm_ls1 = cfg_mod.LMParams(line_search_steps=0)
+    lm_nodiv = cfg_mod.LMParams(check_divergence=False)
+
+    def outer(lmp):
+        def f(p):
+            return lm_outer_step(p, aux.alive, lm_win, lm_valb, bg,
+                                 rcfg=win_cfg, lm=lmp, active_sh_degree=3,
+                                 use_exp=False)[1]["best_val_loss"]
+        return f
+
+    lm_times = {}
+    if not args.quick:
+        for name, lmp in (("lm_outer_step_s", lm_full),
+                          ("lm_outer_ls1_s", lm_ls1),
+                          ("lm_outer_nodiv_s", lm_nodiv)):
+            try:
+                lm_times[name] = round(
+                    _time_calls(outer(lmp), (params,), 1, warmup=1), 3)
+            except Exception as e:   # noqa: BLE001 - report, don't die
+                print(f"{name} failed: {e}", file=sys.stderr)
+                lm_times[name] = None
+
+    # ---- million-Gaussian configuration (reference 24 GB envelope) -----
+    m1 = None
+    if on_tpu and not args.quick and not args.skip_1m:
+        try:
+            P1 = 1 << 20
+            p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
+                                      capacity=P1, num_images=1, spread=1.5,
+                                      scale_range=(-5.5, -3.5))
+            # ~8x the 131k record stream; pack=8 shrinks the HBM stream 8x
+            cfg1 = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,
+                                tile_chunk=64, impl="auto", pack=8,
+                                live_capacity=10 << 20)
+
+            @jax.jit
+            def fwd1(p, cam, bg):
+                return render(p, cam, bg, config=cfg1, alive=a1.alive).render
+
+            @jax.jit
+            def fwd_bwd1(p, cam, bg, gt):
+                def loss_fn(p):
+                    img = render(p, cam, bg, config=cfg1,
+                                 alive=a1.alive).render
+                    return jnp.mean(jnp.abs(img - gt))
+                return jax.value_and_grad(loss_fn)(p)[1].xyz
+
+            t1f = _time_calls(fwd1, (p1, camera, bg), 3)
+            t1fb = _time_calls(fwd_bwd1, (p1, camera, bg, gt), 3)
+            diag = jax.jit(lambda p, cam: render(
+                p, cam, bg, config=cfg1, alive=a1.alive).n_duplicates)
+            m1 = {"fwd_ms": round(t1f * 1e3, 3),
+                  "fwd_bwd_ms": round(t1fb * 1e3, 3),
+                  "n_gaussians": P1,
+                  "n_records": int(diag(p1, camera)),
+                  "dup_capacity": cfg1.dup_capacity}
+        except Exception as e:       # noqa: BLE001 - report, don't die
+            print(f"1M config failed: {e}", file=sys.stderr)
+            m1 = {"error": str(e)[:200]}
+
     result = {
         "metric": "render_1080p_rays_per_s",
         "value": round(rays_fwd, 1),
@@ -181,8 +292,12 @@ def main():
             "fwd_ms": round(t_fwd * 1e3, 3),
             "fwd_bwd_rays_per_s": round(rays_fb, 1),
             "fwd_bwd_ms": round(t_fb * 1e3, 3),
+            "adam_iter_ms": round(t_adam * 1e3, 3),
+            "adam_iter_vs_a6000": round(A6000_ITER_MS / (t_adam * 1e3), 4),
             "lm_matvec_per_s": round(1.0 / t_mv, 3),
             "lm_matvec_T_per_s": round(1.0 / t_mvT, 3),
+            **lm_times,
+            "m1": m1,
             "n_gaussians": n_gauss,
             "resolution": f"{W}x{H}",
             "device": str(jax.devices()[0]),
