@@ -1,0 +1,105 @@
+"""Microbenchmark: alternatives for the backward cotangent reduction
+(L,10) -> (P,10) — the dominant fwd+bwd cost (PARITY.md: ~26 ms at
+L=1.6M via XLA's row-serial scatter-add, ops/rasterize_pallas.py
+_gather_records_bwd).
+
+Candidates (all produce the identical per-Gaussian sums):
+  add     : dfeat at[gid].add — the current path.
+  set+seg : carry the expansion-entry id e through the tile sort; the
+            inverse permutation is then a unique-indices at[e].set
+            followed by a cumsum + segment-boundary diff (expansion order
+            is per-Gaussian contiguous).
+  sortseg : re-sort dfeat rows by gid (10 f32 payload lanes) + cumsum/diff.
+  argsort : argsort(e) (keys-only int sort) + row gather + cumsum/diff.
+
+Run on hardware: python scripts/bench_scatter.py [L] [P]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, args, iters=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)) * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 1_280_000
+    P = int(sys.argv[2]) if len(sys.argv) > 2 else 131_072
+    W = 10
+    rng = np.random.default_rng(0)
+
+    # synthetic but structurally faithful: counts per gaussian ~ tile_count
+    counts = rng.integers(1, 2 * L // P, P).astype(np.int64)
+    counts = (counts * (L / counts.sum())).astype(np.int64)
+    counts[0] += L - counts.sum()
+    gid_exp = np.repeat(np.arange(P, dtype=np.int32), counts)   # expansion
+    perm = rng.permutation(L).astype(np.int32)                  # sort order
+    gid = gid_exp[perm]               # gid per sorted row
+    e = perm                          # expansion id per sorted row... wait
+    # row i (sorted) came from expansion entry perm[i]; scattering row i to
+    # position perm[i] restores expansion order.
+    dfeat = jnp.asarray(rng.normal(0, 1, (L, W)), jnp.float32)
+    gid_j = jnp.asarray(gid)
+    e_j = jnp.asarray(e)
+    offs = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+
+    @jax.jit
+    def f_add(d, g):
+        return jnp.zeros((P, W), jnp.float32).at[g].add(d)
+
+    @jax.jit
+    def f_set_seg(d, ee):
+        d_exp = jnp.zeros((L, W), jnp.float32).at[ee].set(
+            d, unique_indices=True)
+        c = jnp.cumsum(d_exp, axis=0)
+        c = jnp.concatenate([jnp.zeros((1, W), jnp.float32), c], axis=0)
+        return c[offs[1:]] - c[offs[:-1]]
+
+    @jax.jit
+    def f_sortseg(d, g):
+        op = jax.lax.sort((g,) + tuple(d[:, i] for i in range(W)),
+                          num_keys=1, is_stable=False)
+        ds = jnp.stack(op[1:], axis=1)
+        c = jnp.cumsum(ds, axis=0)
+        c = jnp.concatenate([jnp.zeros((1, W), jnp.float32), c], axis=0)
+        return c[offs[1:]] - c[offs[:-1]]
+
+    @jax.jit
+    def f_argsort(d, ee):
+        inv = jax.lax.sort((ee, jnp.arange(L, dtype=jnp.int32)),
+                           num_keys=1)[1]
+        d_exp = d[inv]
+        c = jnp.cumsum(d_exp, axis=0)
+        c = jnp.concatenate([jnp.zeros((1, W), jnp.float32), c], axis=0)
+        return c[offs[1:]] - c[offs[:-1]]
+
+    ref = np.asarray(f_add(dfeat, gid_j))
+    for name, fn, a in (("add", f_add, (dfeat, gid_j)),
+                        ("set+seg", f_set_seg, (dfeat, e_j)),
+                        ("sortseg", f_sortseg, (dfeat, gid_j)),
+                        ("argsort", f_argsort, (dfeat, e_j))):
+        got = np.asarray(fn(*a))
+        ok = np.allclose(got, ref, atol=1e-3)
+        print(f"{name:8s} {timeit(fn, a):8.3f} ms  match={ok}", flush=True)
+    print("device:", jax.devices()[0], "L:", L, "P:", P)
+
+
+if __name__ == "__main__":
+    main()
