@@ -179,7 +179,8 @@ def main():
     lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
                           max_per_tile=cfg.max_per_tile,
                           tile_chunk=cfg.tile_chunk, impl=cfg.impl,
-                          live_capacity=cfg.live_capacity // 2)
+                          live_capacity=cfg.live_capacity // 2,
+                          depth_grad=False)   # LM has no depth residual
 
     from gslm_tpu.renderer import resolve_impl
 

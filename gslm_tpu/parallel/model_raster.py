@@ -436,6 +436,10 @@ def mp_lm_outer_step(params_local, alive_local, window: CameraBatch,
     from gslm_tpu.solver.cg import cgls_damped_unrolled
     from gslm_tpu.solver.operators import LMOperators
 
+    # no depth residual in LM (reference training_loss.py:57) — trim the
+    # invdepth cotangents from the Pallas backward
+    rcfg = rcfg.replace(depth_grad=False)
+
     def weighted(r, w):
         if w is None:
             return r

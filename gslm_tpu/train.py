@@ -158,6 +158,10 @@ def training(args, *, lm_phase_hook=None):
 
     rcfg = make_raster_config(tpu, pipe, all_train.height, all_train.width,
                               params.capacity)
+    if not any(m.depth_reliable for m in train_metas):
+        # no usable depth maps → the depth-L1 term is identically zero;
+        # trim the invdepth cotangent reductions from the Pallas backward
+        rcfg = rcfg.replace(depth_grad=False)
 
     # --- multi-chip: shard_map steps over a device mesh ------------------
     # mesh_model == 1: data-parallel (params replicated, views sharded).

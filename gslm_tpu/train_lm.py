@@ -55,6 +55,11 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     mesh axis inside shard_map — residual dots, Jᵀ·u partials, and the
     line-search losses then psum over it (parallel/steps.py wires this)."""
 
+    # the LM residual has no depth term (reference training_loss.py:57
+    # raises NotImplementedError) — invdepth cotangents are identically
+    # zero, so trim them from the Pallas backward
+    rcfg = rcfg.replace(depth_grad=False)
+
     def res_of(cfg):
         def f(p, cams):
             return batch_residuals(p, cams, bg, config=cfg,
