@@ -44,6 +44,11 @@ def evaluate_dir(method_dir: str, use_lpips: bool = True):
     names, renders, gts = read_images(os.path.join(method_dir, "renders"),
                                       os.path.join(method_dir, "gt"))
     lpips_ok = use_lpips and lpips_mod.available()
+    if use_lpips and not lpips_ok:
+        print(f"LPIPS weights not found at {lpips_mod.default_weight_path()}"
+              " — reporting LPIPS: null. Export them once on any box with"
+              " torchvision (tools/export_lpips_weights.py) and point"
+              " GSLM_LPIPS_WEIGHTS at the npz.")
 
     @jax.jit
     def pair_metrics(r, g):
