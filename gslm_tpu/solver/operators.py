@@ -176,6 +176,16 @@ def chunked_residual_fn(residual_of_batch: Callable, cameras_stacked,
     loop (solver_functions.py:38-49), but inside one traced program, so the
     LM operators' jvp/vjp run *through* the chunk loop and peak memory is
     one chunk's render, not the whole window.
+
+    The per-chunk body is ``jax.checkpoint``-ed: without remat, lax.map's
+    backward saves EVERY chunk's render intermediates (sorted record
+    streams, compositor saves) and the map bounds nothing — the scan would
+    hold all B views' intermediates at once, exactly what micro-batching
+    exists to avoid. With remat only the chunk inputs are saved and the
+    backward replays each chunk's forward (the reference pays the same
+    recompute: its batch loop re-renders per chunk in backward_real,
+    solver_functions.py:110-121). Pinned by
+    test_operators.py::test_chunked_backward_memory_bound.
     """
     def split(x):
         b = x.shape[0]
@@ -188,15 +198,17 @@ def chunked_residual_fn(residual_of_batch: Callable, cameras_stacked,
 
     def residual_fn(params):
         if view_valid is None:
-            out = jax.lax.map(lambda cams: residual_of_batch(params, cams),
-                              chunked)
+            body = jax.checkpoint(
+                lambda p, cams: residual_of_batch(p, cams))
+            out = jax.lax.map(lambda cams: body(params, cams), chunked)
         else:
-            def one(args):
+            @jax.checkpoint
+            def one(params, args):
                 cams, w = args
                 r = residual_of_batch(params, cams)
                 return jax.tree.map(
                     lambda x: x * w[:, None, None, None], r)
-            out = jax.lax.map(one, chunked)
+            out = jax.lax.map(lambda a: one(params, a), chunked)
         return jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), out)
 
     return residual_fn
