@@ -237,3 +237,41 @@ def test_chunked_backward_memory_bound(rng):
     if m_full is not None and m_full.temp_size_in_bytes > 0:
         assert m_chunk.temp_size_in_bytes < m_full.temp_size_in_bytes, (
             m_chunk.temp_size_in_bytes, m_full.temp_size_in_bytes)
+
+
+@pytest.mark.smoke
+def test_adam_step_matches_torch(rng):
+    """Pin the Adam update against torch.optim.Adam (the reference's
+    optimizer, gaussian_model.py:268-301): same betas, eps inside the
+    denominator, bias correction — one group with the reference's Gaussian
+    eps (1e-15) and the dense exposure group with torch's default 1e-8."""
+    import jax.numpy as jnp
+    import torch
+
+    from gslm_tpu.models.gaussians import GaussianParams
+    from gslm_tpu.optim import adam_step, init_adam
+    from tests.utils import random_gaussians
+
+    params, _ = random_gaussians(rng, n=32, capacity=32, num_images=2)
+    grads = jax.tree.map(
+        lambda x: jnp.asarray(rng.normal(0, 1e-2, x.shape), x.dtype), params)
+    state = init_adam(params)
+    lrs = {"xyz": 1e-3, "features_dc": 2.5e-3, "features_rest": 1.25e-4,
+           "opacity": 2.5e-2, "scaling": 5e-3, "rotation": 1e-3,
+           "exposure": 1e-2}
+
+    p, s = params, state
+    for _ in range(3):
+        p, s = adam_step(p, grads, s, lrs)
+
+    for g, eps in (("xyz", 1e-15), ("opacity", 1e-15), ("exposure", 1e-8)):
+        t0 = torch.tensor(np.asarray(getattr(params, g)),
+                          requires_grad=True)
+        opt = torch.optim.Adam([t0], lr=lrs[g], eps=eps)
+        for _ in range(3):
+            opt.zero_grad()
+            t0.grad = torch.tensor(np.asarray(getattr(grads, g)))
+            opt.step()
+        np.testing.assert_allclose(np.asarray(getattr(p, g)),
+                                   t0.detach().numpy(), atol=1e-6,
+                                   err_msg=g)
