@@ -172,8 +172,7 @@ def main():
                          max(iters // 2, 3))
 
     # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
-    lmv = 2 if args.quick else 2
-    lm_cams_small = ring_camera_batch(lmv, lm_hw if args.quick else 540,
+    lm_cams_small = ring_camera_batch(2, lm_hw if args.quick else 540,
                                       lm_hw if args.quick else 540)
     lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
                           max_per_tile=cfg.max_per_tile,
@@ -214,8 +213,7 @@ def main():
     # variants: ls1 (single line-search alpha) isolates the line search,
     # nodiv (check_divergence off) isolates the CGLS true-residual
     # recompute (solver/cg.py:171-180).
-    lm_win = jax.tree.map(lambda x: x[:lm_views],
-                          ring_camera_batch(lm_views, H, W))
+    lm_win = ring_camera_batch(lm_views, H, W)
     lm_valb = ring_camera_batch(lm_val, H, W, gt_seed=1)
     # 5-view fused window: ~5x the single-view record stream
     win_cfg = RasterConfig(

@@ -124,7 +124,7 @@ def _lower_bound(keys, bounds, n: int):
     return jnp.minimum(lo, n)
 
 
-def _cell_masks(splats: Splats2D, view_rows: int, cwb: int, chb: int):
+def _cell_masks(splats: Splats2D, view_rows: int, cwb: int):
     """Per-Gaussian 8×8-cell survival masks for exact ellipse–tile culling.
 
     The AABB tile rect (projection.py, opacity-aware per-axis bounds) still
@@ -253,7 +253,7 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     if cull:
         cwb = max(_cdiv(ntx, 8).bit_length(), 1)
         chb = max(_cdiv(view_rows, 8).bit_length(), 1)
-        m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb, chb)
+        m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb)
         total_live = jnp.sum(nlive)
         cell_cols = (m0, m1, m2, cwch)
 

@@ -58,6 +58,9 @@ from gslm_tpu.ops.projection import TILE, Splats2D, preprocess
 from gslm_tpu.ops.rasterize_tiled import RasterConfig, _cdiv
 
 
+_EXCHANGE_LOGGED: set = set()
+
+
 def band_rows(height: int, n_model: int) -> int:
     """Tile rows per model shard (static)."""
     return _cdiv(_cdiv(height, TILE), n_model)
@@ -202,11 +205,14 @@ def mp_render_views(params_local: GaussianParams, cameras: CameraBatch,
     radii_local = sv_local.radius                 # for densify/visibility
 
     Pl = params_local.xyz.shape[0]
-    print(f"[mp raster] splat exchange: "
-          f"{'route' if config.mp_route_capacity else 'all_gather'} "
-          f"{exchange_bytes(Bd, Pl, n_model, config.mp_route_capacity)} "
-          f"B/device (gather would be "
-          f"{exchange_bytes(Bd, Pl, n_model, 0)} B)")
+    log_key = (Bd, Pl, n_model, config.mp_route_capacity)
+    if log_key not in _EXCHANGE_LOGGED:      # once per shape, not per trace
+        _EXCHANGE_LOGGED.add(log_key)
+        print(f"[mp raster] splat exchange: "
+              f"{'route' if config.mp_route_capacity else 'all_gather'} "
+              f"{exchange_bytes(Bd, Pl, n_model, config.mp_route_capacity)} "
+              f"B/device (gather would be "
+              f"{exchange_bytes(Bd, Pl, n_model, 0)} B)")
     route_overflow = jnp.int32(0)
     if config.mp_route_capacity > 0:
         splats, route_overflow = _route_band_splats(

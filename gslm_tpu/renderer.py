@@ -225,7 +225,8 @@ def batch_render(params: GaussianParams, cameras: CameraBatch, bg: jnp.ndarray,
 def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
                    config: RasterConfig = RasterConfig(),
                    active_sh_degree: int | None = None,
-                   alive: jnp.ndarray | None = None):
+                   alive: jnp.ndarray | None = None,
+                   per_view: bool = False, n_model: int = 1):
     """P-level duplicate-count probe: would rendering this camera batch
     overflow ``config``'s record capacities?
 
@@ -236,9 +237,17 @@ def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
     (rasterizer re-allocates per launch); XLA capacities are static, so
     trainers probe-then-grow (train.py / train_lm.py retry loops).
 
-    Returns dict(n_aabb, n_live, overflow) — n_* are summed over views;
-    overflow mirrors the rasterizer's flag: live total over the effective
-    capacity OR AABB total over dup_capacity."""
+    ``per_view=False``: dict(n_aabb, n_live, overflow) summed over views;
+    overflow mirrors the rasterizer's flag (live total over the effective
+    capacity OR AABB total over dup_capacity). NOTE: capacities bound one
+    RENDER, so when views are rendered in micro-batch chunks the caller
+    must compare per-chunk sums, not the whole-window sum — use
+    ``per_view=True``, which returns (B,) arrays instead, plus, when
+    ``n_model`` > 1, ``band_aabb`` (B, M) per-tile-row-band AABB record
+    counts (what each model shard's band-local stream pays; the reference
+    has no analog — its P axis is single-GPU) and, when
+    ``config.mp_route_capacity`` > 0, ``route_counts`` (B, M_src, M_dst)
+    routed-record counts per source shard block and destination band."""
     from gslm_tpu.ops.rasterize_tiled import _cdiv, _cell_masks
 
     if active_sh_degree is None:
@@ -251,6 +260,8 @@ def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
     from gslm_tpu.ops.projection import TILE
     ntx = _cdiv(cameras.width, TILE)
     nty = _cdiv(cameras.height, TILE)
+    bh = _cdiv(nty, n_model)
+    P = params.xyz.shape[0]
 
     def one_view(camera):
         sp = preprocess(params, camera, active_sh_degree=active_sh_degree,
@@ -258,13 +269,32 @@ def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
         n_aabb = jnp.sum(sp.tile_count)
         if config.cull:
             cwb = max(_cdiv(ntx, 8).bit_length(), 1)
-            chb = max(_cdiv(nty, 8).bit_length(), 1)
-            *_, nlive = _cell_masks(sp, nty, cwb, chb)
-            return n_aabb, jnp.sum(nlive)
-        return n_aabb, n_aabb
+            *_, nlive = _cell_masks(sp, nty, cwb)
+            n_live = jnp.sum(nlive)
+        else:
+            n_live = n_aabb
+        out = {"n_aabb": n_aabb, "n_live": n_live}
+        if n_model > 1:
+            w = jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 0)
+            vis = sp.tile_count > 0
+            bands, routed = [], []
+            for d in range(n_model):
+                rows = (jnp.clip(sp.rect_max[:, 1], d * bh, (d + 1) * bh)
+                        - jnp.clip(sp.rect_min[:, 1], d * bh, (d + 1) * bh))
+                bands.append(jnp.sum(jnp.where(vis, w * rows, 0)))
+                if config.mp_route_capacity > 0:
+                    ind = (vis & (rows > 0)).astype(jnp.int32)
+                    routed.append(ind.reshape(n_model, P // n_model)
+                                  .sum(axis=1))
+            out["band_aabb"] = jnp.stack(bands)             # (M,)
+            if config.mp_route_capacity > 0:
+                out["route_counts"] = jnp.stack(routed, 1)  # (M_src, M_dst)
+        return out
 
-    n_aabb, n_live = jax.vmap(one_view)(batched_cam)
-    n_aabb, n_live = jnp.sum(n_aabb), jnp.sum(n_live)
+    out = jax.vmap(one_view)(batched_cam)
+    if per_view:
+        return out
+    n_aabb, n_live = jnp.sum(out["n_aabb"]), jnp.sum(out["n_live"])
     over = ((n_live > config.eff_capacity())
             | (n_aabb > config.dup_capacity)).astype(jnp.int32)
     return {"n_aabb": n_aabb, "n_live": n_live, "overflow": over}
@@ -277,5 +307,6 @@ _STATIC = ("config", "active_sh_degree", "use_trained_exp", "impl")
 # Jitted entry points (compile once per (shape, static-config) signature).
 render_jit = jax.jit(render, static_argnames=_STATIC)
 batch_render_jit = jax.jit(batch_render, static_argnames=_STATIC)
-overflow_probe_jit = jax.jit(overflow_probe,
-                             static_argnames=("config", "active_sh_degree"))
+overflow_probe_jit = jax.jit(
+    overflow_probe,
+    static_argnames=("config", "active_sh_degree", "per_view", "n_model"))

@@ -275,8 +275,10 @@ def training(args, *, lm_phase_hook=None):
                 bg_default)
             params, aux, opt_state = hook_out[:3]
             lm_info = hook_out[3] if len(hook_out) > 3 else None
-            if len(hook_out) > 4 and hook_out[4] is not None:
+            if len(hook_out) > 4 and hook_out[4] is not None \
+                    and hook_out[4] != rcfg:
                 rcfg = hook_out[4]        # LM overflow retry grew capacities
+                dp_cache.clear()          # mesh steps baked the old rcfg
             loss_f = float(lm_info["best_val_loss"]) if lm_info else 0.0
             ema_loss = 0.4 * loss_f + 0.6 * ema_loss
             progress.set_postfix({"ValLoss": f"{ema_loss:.7f}",

@@ -233,10 +233,51 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
 
     from gslm_tpu.renderer import overflow_probe_jit
 
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+
+    def render_groups(n_views: int) -> list[list[int]]:
+        """View-index groups that share ONE record stream (= one fused
+        render): capacities bound a render, not the whole window, so the
+        probe must compare per-group sums (a 20-view window chunked at
+        micro_batch 5 needs 4x LESS capacity than its total). Mirrors
+        lm_outer_step's chunking: contiguous per-data-shard slices, then
+        micro_batch chunks within each slice."""
+        per_dev = n_views // n_data
+        mb = lm.micro_batch
+        # mp_lm_outer_step renders its whole per-device slice in one fused
+        # pass (no micro-batch chunk inside the mp path)
+        step = mb if (n_model == 1 and 0 < mb < per_dev
+                      and per_dev % mb == 0) else per_dev
+        return [list(range(d * per_dev + c, d * per_dev + c + step))
+                for d in range(n_data) for c in range(0, per_dev, step)]
+
     def probe(p, cfg):
-        return int(overflow_probe_jit(
-            p, window, config=cfg, active_sh_degree=active_sh_degree,
-            alive=aux.alive)["overflow"])
+        """True iff ANY render unit of the window or the line search's
+        validation views would overflow cfg's record (or routed-exchange)
+        capacities. Model-parallel shards pay only their band's stream:
+        band_aabb is exact for the AABB ceiling and a conservative proxy
+        for the post-cull live ceiling (aabb ≥ live)."""
+        over = False
+        for cams, nv in ((window, len(win)), (val, len(vidx))):
+            out = overflow_probe_jit(
+                p, cams, config=cfg, active_sh_degree=active_sh_degree,
+                alive=aux.alive, per_view=True, n_model=n_model)
+            na = np.asarray(out["n_aabb"])
+            nl = np.asarray(out["n_live"])
+            for grp in render_groups(nv):
+                if n_model > 1:
+                    band = np.asarray(out["band_aabb"])[grp].sum(0)
+                    need_aabb = need_live = int(band.max())
+                else:
+                    need_aabb = int(na[grp].sum())
+                    need_live = int(nl[grp].sum())
+                over |= (need_live > cfg.eff_capacity()
+                         or need_aabb > cfg.dup_capacity)
+                if n_model > 1 and cfg.mp_route_capacity > 0:
+                    rc = np.asarray(out["route_counts"])[grp].sum(0)
+                    over |= int(rc.max()) > cfg.mp_route_capacity
+        return over
 
     params0 = params
     for attempt in range(4):

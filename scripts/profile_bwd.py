@@ -50,7 +50,7 @@ def main():
     # standalone: scatter-add of (L,10) rows into (P+1,10)
     splats = jax.jit(lambda p: preprocess(p, camera, active_sh_degree=3,
                                           alive=aux.alive))(params)
-    order, gid2, starts, ends, total = jax.jit(
+    order, gid2, starts, ends, totals = jax.jit(
         lambda s: duplicate_sort_ranges(s, ntx, nty, L))(splats)
     dfeat = jnp.ones((L, 10), jnp.float32)
 
@@ -80,6 +80,7 @@ def main():
         return rp._bwd_call(f, s, c, g, t, n_programs=n_programs,
                             interpret=False, pack=1)
 
+    total = totals[0] if isinstance(totals, tuple) else totals
     print(f"total records {int(total)}")
     print(f"fwd            {timeit(fwd, (params,)):8.2f} ms", flush=True)
     print(f"fwd+bwd        {timeit(fb, (params,)):8.2f} ms", flush=True)

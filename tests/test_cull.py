@@ -82,8 +82,7 @@ def test_cull_never_drops_contributing_records(rng):
     sp = preprocess(params, cam, active_sh_degree=3, alive=aux.alive)
     ntx, nty = _cdiv(cam.width, TILE), _cdiv(cam.height, TILE)
     cwb = max(_cdiv(ntx, 8).bit_length(), 1)
-    chb = max(_cdiv(nty, 8).bit_length(), 1)
-    m = _cell_masks(sp, nty, cwb, chb)
+    m = _cell_masks(sp, nty, cwb)
     m0, m1, m2, cwch, _ = (np.asarray(x) for x in m)
     sp = jax.tree.map(np.asarray, sp)
     cw, ch = cwch & ((1 << cwb) - 1), cwch >> cwb
@@ -243,3 +242,27 @@ def test_million_record_capacity_step(rng):
     assert int(out.overflow) == 0
     assert int(out.max_tile_load) <= cfg.max_per_tile
     assert bool(jnp.isfinite(out.render).all())
+
+
+def test_probe_band_counts_partition_totals(rng):
+    """per_view probe invariants: band_aabb partitions the per-view AABB
+    total (tile-row bands partition the tile grid), and routed counts per
+    destination sum each view's band-intersecting splats per source-shard
+    block (what _route_band_splats ships)."""
+    from gslm_tpu.renderer import overflow_probe_jit
+    from tests.utils import ring_camera_batch
+
+    params, aux = random_gaussians(rng, n=1024, capacity=1024, num_images=2)
+    cams = ring_camera_batch(2, 96, 128)
+    cfg = CFG.replace(cull=True, mp_route_capacity=64)
+    out = overflow_probe_jit(params, cams, config=cfg, alive=aux.alive,
+                             per_view=True, n_model=2)
+    band = np.asarray(out["band_aabb"])          # (B, M)
+    na = np.asarray(out["n_aabb"])
+    np.testing.assert_array_equal(band.sum(1), na)
+    rc = np.asarray(out["route_counts"])         # (B, M_src, M_dst)
+    assert rc.shape == (2, 2, 2) and rc.sum() > 0
+    # every routed record's source gaussian lives in one shard block and
+    # intersects >= 1 band; totals bounded by visible splats per view
+    vis = np.asarray(out["n_live"]) > 0
+    assert vis.all()

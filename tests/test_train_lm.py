@@ -143,3 +143,39 @@ def test_lm_overflow_retry_grows_capacity(tmp_path):
                           bg, lm, 1, np.random.default_rng(1), False, 0.2, 0,
                           verbose=False)
     assert same == roomy
+
+
+def test_lm_probe_respects_micro_batch(tmp_path):
+    """Capacities bound ONE render, and micro-batching renders the window
+    in chunks — a capacity that fits every 2-view chunk but not the 4-view
+    window TOTAL must not trigger the grow-and-retry (regression: the
+    probe originally summed the whole padded window and spuriously grew
+    capacities 8x on chunked runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.renderer import overflow_probe_jit
+    from gslm_tpu.train_lm import lm_phase
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=4)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    all_train = batch_from_metas(scene.get_train_cameras())
+    lm = cfg_mod.LMParams(num_images=4, micro_batch=2, num_val_views=4,
+                          val_view_stride=1)
+    big = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    per_view = overflow_probe_jit(scene.params, all_train, config=big,
+                                  alive=scene.aux.alive, per_view=True)
+    na = np.asarray(per_view["n_aabb"])
+    total, chunk_max = int(na.sum()), int(max(
+        na[0] + na[1], na[2] + na[3]))
+    assert chunk_max < total
+    cap = ((chunk_max + total) // 2 + 7) // 8 * 8   # fits chunks, not total
+    mid = big.replace(dup_capacity=cap, live_capacity=cap)
+    _, _, same = lm_phase(scene, scene.params, scene.aux, all_train, mid,
+                          jnp.zeros(3), lm, 0, np.random.default_rng(0),
+                          False, 0.2, 0, verbose=False)
+    assert same == mid, (same.dup_capacity, mid.dup_capacity)
