@@ -266,3 +266,32 @@ def test_probe_band_counts_partition_totals(rng):
     # intersects >= 1 band; totals bounded by visible splats per view
     vis = np.asarray(out["n_live"]) > 0
     assert vis.all()
+
+
+def test_split_key_branch_with_cull(rng):
+    """The million-Gaussian @1080p configuration overflows the single-key
+    budget ((ntiles+1) << bit_length(P-1) > 2^31) and takes
+    duplicate_sort_ranges' split-key two-key sort; with culling the
+    segment binary-search must use that branch's key shift. Nothing else
+    exercised split-key + cull together (bench's m1 block hits it on
+    hardware). Render parity cull vs no-cull at the same shapes."""
+    from gslm_tpu.models.cameras import camera_from_meta
+    from tests.utils import make_camera
+
+    P = 1 << 20                      # key budget driven by capacity,
+    n = 16_384                       # runtime by the alive count
+    params, aux = random_gaussians(rng, n=n, capacity=P, num_images=1,
+                                   scale_range=(-4.5, -3.2))
+    cam = camera_from_meta(make_camera(height=1024, width=1024))
+    ntiles = (1024 // 16) ** 2
+    assert (ntiles + 1) << max(P - 1, 1).bit_length() > (1 << 31)
+    cfg = RasterConfig(dup_capacity=1 << 18, max_per_tile=2048,
+                       tile_chunk=64, impl="tiled", cull=False)
+    off = render(params, cam, BG, config=cfg, alive=aux.alive)
+    on = render(params, cam, BG,
+                config=cfg.replace(cull=True, live_capacity=(1 << 18) - 4096),
+                alive=aux.alive)
+    assert int(off.overflow) == 0 and int(on.overflow) == 0
+    assert int(on.n_duplicates) < int(off.n_duplicates)
+    np.testing.assert_allclose(np.asarray(on.render),
+                               np.asarray(off.render), atol=5e-6)
