@@ -13,6 +13,15 @@ Candidates (all produce the identical per-Gaussian sums):
   argsort : argsort(e) (keys-only int sort) + row gather + cumsum/diff.
 
 Run on hardware: python scripts/bench_scatter.py [L] [P]
+
+Decision rule (why these aren't wired into the product yet): the cumsum
+variants subtract large prefixes, so at L~1.3M their f32 segment sums
+lose ~sqrt(L)·eps of the RUNNING TOTAL's magnitude — potentially >>1e-5
+relative to a single Gaussian's gradient. If a cumsum variant wins the
+timing here, wiring it requires a two-level reduction (exact f32 block
+sums + wider-precision block carries) before it can replace the
+scatter-add at training precision. The re-sort variant (sortseg) has the
+same issue only in its cumsum stage, not the sort.
 """
 from __future__ import annotations
 
