@@ -178,6 +178,93 @@ def _gather_records_bwd(res, dfeat):
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
+SEG_BLK = 512   # sortseg block: local-prefix magnitude (the f32 error
+#                 bound scales with sqrt(SEG_BLK)) vs carry-scan length
+
+
+def _segment_reduce_sorted(d, gid, offs):
+    """Sum rows of ``d`` (L2, 10) into per-Gaussian segments.
+
+    ``gid`` holds each row's Gaussian rank (dead/pad rows carry the
+    sentinel rank P, which sorts past every live row); ``offs`` (P+1,) is
+    the exclusive prefix of per-Gaussian live counts, so in gid-sorted
+    order Gaussian g owns rows [offs[g], offs[g+1]).
+
+    Replaces the XLA scatter-add (row-serial, ~18-19 ns/row on v5e) with a
+    payload sort + segment sum (~16 ms vs ~25 ms at L=1.3M). A plain
+    full-length f32 cumsum would lose ~eps*|running total| per segment
+    (>=1e-3 relative at L~1M), so the prefix is two-level: a block-local
+    cumsum (magnitude bounded by one SEG_BLK-block's sum) plus a TwoSum-
+    compensated associative scan over the ~L/SEG_BLK block totals; a
+    segment sum is then (local diff) + (carry hi diff) + (carry lo diff),
+    accurate to ~eps*sqrt(SEG_BLK) of a block's content — measured 3.6e-3
+    worst-case vs float64 on N(0,1) rows against the scatter-add's 8e-4
+    (scripts/bench_scatter.py), both dominated by near-zero segments."""
+    L2, W = d.shape
+    op = jax.lax.sort((gid,) + tuple(d[:, i] for i in range(W)),
+                      num_keys=1, is_stable=False)
+    ds = jnp.stack(op[1:], axis=1)
+    nb = -(-L2 // SEG_BLK)
+    Lp = nb * SEG_BLK
+    if Lp != L2:
+        ds = jnp.concatenate(
+            [ds, jnp.zeros((Lp - L2, W), jnp.float32)], axis=0)
+    loc = jnp.cumsum(ds.reshape(nb, SEG_BLK, W), axis=1)
+    btot = loc[:, -1, :]
+
+    def pair_add(a, b):     # error-free (hi, lo) pair addition (TwoSum)
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        bp = s - ah
+        err = (ah - (s - bp)) + (bh - bp)
+        return s, err + al + bl
+
+    hi_i, lo_i = jax.lax.associative_scan(
+        pair_add, (btot, jnp.zeros_like(btot)), axis=0)
+    z = jnp.zeros((1, W), jnp.float32)
+    hi = jnp.concatenate([z, hi_i], axis=0)       # exclusive carries
+    lo = jnp.concatenate([z, lo_i], axis=0)
+    loc_flat = loc.reshape(Lp, W)
+
+    def epref(r):           # exclusive prefix at row r: (local, block)
+        b = r // SEG_BLK
+        lp = jnp.where((r % SEG_BLK > 0)[:, None],
+                       loc_flat[jnp.maximum(r - 1, 0)], 0.0)
+        return lp, b
+
+    lp_e, b_e = epref(offs[1:])
+    lp_s, b_s = epref(offs[:-1])
+    return (lp_e - lp_s) + (hi[b_e] - hi[b_s]) + (lo[b_e] - lo[b_s])
+
+
+@jax.custom_vjp
+def _gather_records_seg(records, gid, offs):
+    """records[gid], like ``_gather_records``, but the VJP reduces the
+    per-entry cotangents by sort + segment-sum instead of scatter-add.
+    ``offs`` (P+1,) int32: exclusive prefix of per-Gaussian live counts in
+    gid (depth-rank) order; requires dead/pad entries remapped to gid=P
+    (the zero record row) so they sort past every live segment."""
+    return records[gid]
+
+
+def _gather_records_seg_fwd(records, gid, offs):
+    return records[gid], (gid, offs, records.shape[0], records.shape[1])
+
+
+def _gather_records_seg_bwd(res, dfeat):
+    gid, offs, nrec, feat_w = res
+    seg = _segment_reduce_sorted(dfeat[:, :10], gid, offs)   # (nrec-1, 10)
+    drec = jnp.concatenate(
+        [seg, jnp.zeros((1, 10), jnp.float32)], axis=0)
+    drec = jnp.concatenate(
+        [drec, jnp.zeros((nrec, feat_w - 10), jnp.float32)], axis=1)
+    return drec, None, None
+
+
+_gather_records_seg.defvjp(_gather_records_seg_fwd, _gather_records_seg_bwd)
+
+
 def _tile_px(starts_ref, t, lin):
     """Pixel coords for tile t. Tile rows wrap modulo ``view_rows`` (the
     scalar stashed after ntx): a fused multi-view batch stacks per-view
@@ -628,9 +715,12 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         view_rows = nty
     P = splats.mean2d.shape[0]
 
-    order, sorted_gid, starts, ends, totals = duplicate_sort_ranges(
+    want_seg = mode == "vjp" and config.bwd_reduce == "sortseg"
+    dsr = duplicate_sort_ranges(
         splats, ntx, nty, L, view_rows=view_rows, cull=config.cull,
-        live_capacity=config.live_capacity)
+        live_capacity=config.live_capacity, want_gid_counts=want_seg)
+    order, sorted_gid, starts, ends, totals = dsr[:5]
+    gid_counts = dsr[5] if want_seg else None
     total_eff, total_aabb = totals
     counts = ends - starts
 
@@ -679,6 +769,21 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     # gather (its JVP is another gather, already cheap)
     if mode == "jvp":
         feat = records[gid2]                              # (L2, feat)
+    elif want_seg:
+        if pack == 1:
+            # dead/sentinel entries past the live prefix carry rank bits 0
+            # (the sentinel key's low bits) — remap them to the zero
+            # record P so they sort past every live segment instead of
+            # polluting Gaussian 0's. (pack>1 already maps out-of-segment
+            # entries to P via in_seg.)
+            live_end = jnp.minimum(total_eff, Leff).astype(jnp.int32)
+            gid2 = jnp.where(jnp.arange(Leff, dtype=jnp.int32) < live_end,
+                             gid2, P)
+        offs = jnp.minimum(
+            jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(gid_counts)]),
+            jnp.int32(L2))                                # (P+1,)
+        feat = _gather_records_seg(records, gid2, offs)
     else:
         feat = _gather_records(records, gid2)
     # extra K pad records absorb the final chunk over-read

@@ -43,7 +43,7 @@ from gslm_tpu.struct import pytree_dataclass
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
                                  "antialiasing", "impl", "pack", "cull",
                                  "live_capacity", "depth_grad",
-                                 "mp_route_capacity"))
+                                 "mp_route_capacity", "bwd_reduce"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -88,6 +88,12 @@ class RasterConfig:
     #                                 shard may send to ONE band owner);
     #                                 0 → all_gather every shard's splats
     #                                 (parallel/model_raster.py)
+    bwd_reduce: str = "sortseg"     # Pallas backward (L,10)->(P,10)
+    #                                 cotangent reduction: "sortseg" =
+    #                                 sort-by-gaussian + two-level
+    #                                 compensated segment-sum (~16 ms at
+    #                                 L=1.3M on v5e), "scatter" = XLA
+    #                                 scatter-add (row-serial, ~25 ms)
 
     def eff_capacity(self) -> int:
         return (self.live_capacity or self.dup_capacity) if self.cull \
@@ -188,7 +194,8 @@ def _cell_masks(splats: Splats2D, view_rows: int, cwb: int):
 
 def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
                           carry_cols=None, *, view_rows: int | None = None,
-                          cull: bool = False, live_capacity: int = 0):
+                          cull: bool = False, live_capacity: int = 0,
+                          want_gid_counts: bool = False):
     """Stages 1-3 of the tile pipeline (shared by the XLA and Pallas
     compositors): fixed-capacity duplicate-with-keys, sort by (tile,
     depth), per-tile range extraction.
@@ -239,6 +246,12 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     gate zeroes, so output changes only by f32 reassociation. The returned
     ``total`` becomes a pair (live total, AABB total) for the two capacity
     checks.
+
+    ``want_gid_counts=True`` appends one more return element: the
+    per-Gaussian live record count in DEPTH order (the value ``rank``
+    indexes by), i.e. how many sorted entries carry each rank. The Pallas
+    backward's sort-based cotangent segment-reduction needs the exclusive
+    prefix of these as its segment boundaries (``_gather_records_seg``).
     """
     ntiles = ntx * nty
     P = splats.mean2d.shape[0]
@@ -256,6 +269,8 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb)
         total_live = jnp.sum(nlive)
         cell_cols = (m0, m1, m2, cwch)
+        if want_gid_counts:
+            cell_cols = cell_cols + (nlive,)
 
     # ---- 1. depth pre-sort at P level (stable; invisible last) ----------
     # Rect corners ride as two packed int32 payloads ((x0<<16|x1),
@@ -399,9 +414,15 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         ends = jnp.minimum(jnp.cumsum(hist.reshape(-1).astype(jnp.int32)), L)
         starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
         totals = (total, total)
-    if carry_cols is None:
-        return order, rank, starts, ends, totals
-    return order, rank, starts, ends, totals, ccols_l
+    out = (order, rank, starts, ends, totals)
+    if carry_cols is not None:
+        out = out + (ccols_l,)
+    if want_gid_counts:
+        # per-gaussian live record count in depth order (rank's index
+        # space): the exact cell-mask tile count when culling, else the
+        # AABB tile count (both already zero for invisible Gaussians)
+        out = out + (cell_p[4] if cull else counts,)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "config",

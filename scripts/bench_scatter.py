@@ -11,6 +11,11 @@ Candidates (all produce the identical per-Gaussian sums):
             is per-Gaussian contiguous).
   sortseg : re-sort dfeat rows by gid (10 f32 payload lanes) + cumsum/diff.
   argsort : argsort(e) (keys-only int sort) + row gather + cumsum/diff.
+  sortseg2: sortseg with the f32 precision gate fixed — block-local
+            cumsum (magnitude bounded by one block's sum) + a TwoSum-
+            compensated lax.scan over the ~L/B block totals; segment sum
+            = local-prefix diff + compensated carry diff. Reports max
+            segment error vs a float64 host reference.
 
 Run on hardware: python scripts/bench_scatter.py [L] [P]
 
@@ -99,14 +104,64 @@ def main():
         c = jnp.concatenate([jnp.zeros((1, W), jnp.float32), c], axis=0)
         return c[offs[1:]] - c[offs[:-1]]
 
+    BLK = 512
+    nb = (L + BLK - 1) // BLK
+    Lp = nb * BLK
+
+    @jax.jit
+    def f_sortseg2(d, g):
+        op = jax.lax.sort((g,) + tuple(d[:, i] for i in range(W)),
+                          num_keys=1, is_stable=False)
+        ds = jnp.stack(op[1:], axis=1)
+        ds = jnp.concatenate(
+            [ds, jnp.zeros((Lp - L, W), jnp.float32)], axis=0)
+        loc = jnp.cumsum(ds.reshape(nb, BLK, W), axis=1)
+        btot = loc[:, -1, :]
+
+        def pair_add(a, b):   # compensated (hi, lo) pair addition (TwoSum)
+            ah, al = a
+            bh, bl = b
+            s = ah + bh
+            bp = s - ah
+            err = (ah - (s - bp)) + (bh - bp)
+            return s, err + al + bl
+
+        hi_i, lo_i = jax.lax.associative_scan(
+            pair_add, (btot, jnp.zeros_like(btot)), axis=0)   # inclusive
+        z = jnp.zeros((1, W), jnp.float32)
+        hi = jnp.concatenate([z, hi_i], axis=0)               # exclusive
+        lo = jnp.concatenate([z, lo_i], axis=0)
+        loc_flat = loc.reshape(Lp, W)
+
+        def epref(r):     # exclusive prefix split into (local, block idx)
+            b = r // BLK
+            lp = jnp.where((r % BLK > 0)[:, None],
+                           loc_flat[jnp.maximum(r - 1, 0)], 0.0)
+            return lp, b
+
+        lp_e, b_e = epref(offs[1:])
+        lp_s, b_s = epref(offs[:-1])
+        return (lp_e - lp_s) + (hi[b_e] - hi[b_s]) + (lo[b_e] - lo[b_s])
+
     ref = np.asarray(f_add(dfeat, gid_j))
+    # float64 exact segment sums for the precision gate
+    d64 = np.asarray(dfeat, np.float64)
+    ord64 = np.argsort(gid, kind="stable")
+    c64 = np.zeros((L + 1, W))
+    np.cumsum(d64[ord64], axis=0, out=c64[1:])
+    offs_np = np.asarray(offs)
+    ref64 = c64[offs_np[1:]] - c64[offs_np[:-1]]
+    scale = np.maximum(np.abs(ref64), 1e-3)
     for name, fn, a in (("add", f_add, (dfeat, gid_j)),
                         ("set+seg", f_set_seg, (dfeat, e_j)),
                         ("sortseg", f_sortseg, (dfeat, gid_j)),
-                        ("argsort", f_argsort, (dfeat, e_j))):
+                        ("argsort", f_argsort, (dfeat, e_j)),
+                        ("sortseg2", f_sortseg2, (dfeat, gid_j))):
         got = np.asarray(fn(*a))
         ok = np.allclose(got, ref, atol=1e-3)
-        print(f"{name:8s} {timeit(fn, a):8.3f} ms  match={ok}", flush=True)
+        relerr = float(np.max(np.abs(got - ref64) / scale))
+        print(f"{name:8s} {timeit(fn, a):8.3f} ms  match={ok}"
+              f"  max_rel_err_vs_f64={relerr:.3e}", flush=True)
     print("device:", jax.devices()[0], "L:", L, "P:", P)
 
 
