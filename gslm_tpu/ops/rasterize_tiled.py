@@ -88,12 +88,25 @@ class RasterConfig:
     #                                 shard may send to ONE band owner);
     #                                 0 → all_gather every shard's splats
     #                                 (parallel/model_raster.py)
-    bwd_reduce: str = "sortseg"     # Pallas backward (L,10)->(P,10)
-    #                                 cotangent reduction: "sortseg" =
-    #                                 sort-by-gaussian + two-level
-    #                                 compensated segment-sum (~16 ms at
-    #                                 L=1.3M on v5e), "scatter" = XLA
-    #                                 scatter-add (row-serial, ~25 ms)
+    bwd_reduce: str = "scatter"     # Pallas backward (L,10)->(P,10)
+    #                                 cotangent reduction: "scatter" = XLA
+    #                                 scatter-add (row-serial, ~25 ms at
+    #                                 L=1.3M on v5e, ~8e-4 worst-case err),
+    #                                 "sortseg" = sort-by-gaussian +
+    #                                 segmented-scan segment-sum (faster;
+    #                                 must pass the 1e-4 on-hardware grad
+    #                                 parity gate before being defaulted —
+    #                                 the r3 cumsum-diff variant failed it)
+
+    def __post_init__(self):
+        if self.bwd_reduce not in ("scatter", "sortseg"):
+            raise ValueError(
+                f"bwd_reduce={self.bwd_reduce!r}: must be 'scatter' or "
+                "'sortseg' (unknown values would silently fall through "
+                "to the scatter path)")
+        if self.impl not in ("tiled", "pallas", "pallas_jvp", "auto", "ref"):
+            raise ValueError(f"impl={self.impl!r}: must be one of "
+                             "tiled/pallas/pallas_jvp/auto/ref")
 
     def eff_capacity(self) -> int:
         return (self.live_capacity or self.dup_capacity) if self.cull \
