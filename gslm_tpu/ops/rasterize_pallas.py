@@ -178,10 +178,6 @@ def _gather_records_bwd(res, dfeat):
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
-SEG_BLK = 512   # sortseg block: local-prefix magnitude (the f32 error
-#                 bound scales with sqrt(SEG_BLK)) vs carry-scan length
-
-
 def _segment_reduce_sorted(d, gid, offs):
     """Sum rows of ``d`` (L2, 10) into per-Gaussian segments.
 
@@ -191,51 +187,31 @@ def _segment_reduce_sorted(d, gid, offs):
     order Gaussian g owns rows [offs[g], offs[g+1]).
 
     Replaces the XLA scatter-add (row-serial, ~18-19 ns/row on v5e) with a
-    payload sort + segment sum (~16 ms vs ~25 ms at L=1.3M). A plain
-    full-length f32 cumsum would lose ~eps*|running total| per segment
-    (>=1e-3 relative at L~1M), so the prefix is two-level: a block-local
-    cumsum (magnitude bounded by one SEG_BLK-block's sum) plus a TwoSum-
-    compensated associative scan over the ~L/SEG_BLK block totals; a
-    segment sum is then (local diff) + (carry hi diff) + (carry lo diff),
-    accurate to ~eps*sqrt(SEG_BLK) of a block's content — measured 3.6e-3
-    worst-case vs float64 on N(0,1) rows against the scatter-add's 8e-4
-    (scripts/bench_scatter.py), both dominated by near-zero segments."""
+    payload sort + SEGMENTED associative scan: the combine resets at
+    segment starts, so a segment total only ever adds values from inside
+    its own segment (tree order) — error ~eps*log(seg_len)*|segment
+    content|, the same class as the scatter-add's sequential sum. The r3
+    variant computed segment sums as differences of a global two-level
+    prefix, whose error scales with the BLOCK content (measured 3.6e-3
+    worst-case vs the scatter's 8e-4, scripts/bench_scatter.py) and
+    failed the 1e-4 on-hardware gradient parity gate (BENCH_r03)."""
     L2, W = d.shape
     op = jax.lax.sort((gid,) + tuple(d[:, i] for i in range(W)),
                       num_keys=1, is_stable=False)
+    sg = op[0]
     ds = jnp.stack(op[1:], axis=1)
-    nb = -(-L2 // SEG_BLK)
-    Lp = nb * SEG_BLK
-    if Lp != L2:
-        ds = jnp.concatenate(
-            [ds, jnp.zeros((Lp - L2, W), jnp.float32)], axis=0)
-    loc = jnp.cumsum(ds.reshape(nb, SEG_BLK, W), axis=1)
-    btot = loc[:, -1, :]
+    flags = jnp.concatenate(
+        [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
 
-    def pair_add(a, b):     # error-free (hi, lo) pair addition (TwoSum)
-        ah, al = a
-        bh, bl = b
-        s = ah + bh
-        bp = s - ah
-        err = (ah - (s - bp)) + (bh - bp)
-        return s, err + al + bl
+    def comb(a, b):          # segmented-sum operator (associative)
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf[..., None], 0.0, av)
 
-    hi_i, lo_i = jax.lax.associative_scan(
-        pair_add, (btot, jnp.zeros_like(btot)), axis=0)
-    z = jnp.zeros((1, W), jnp.float32)
-    hi = jnp.concatenate([z, hi_i], axis=0)       # exclusive carries
-    lo = jnp.concatenate([z, lo_i], axis=0)
-    loc_flat = loc.reshape(Lp, W)
-
-    def epref(r):           # exclusive prefix at row r: (local, block)
-        b = r // SEG_BLK
-        lp = jnp.where((r % SEG_BLK > 0)[:, None],
-                       loc_flat[jnp.maximum(r - 1, 0)], 0.0)
-        return lp, b
-
-    lp_e, b_e = epref(offs[1:])
-    lp_s, b_s = epref(offs[:-1])
-    return (lp_e - lp_s) + (hi[b_e] - hi[b_s]) + (lo[b_e] - lo[b_s])
+    _, svals = jax.lax.associative_scan(comb, (flags, ds), axis=0)
+    last = jnp.clip(offs[1:] - 1, 0, L2 - 1)      # last row of segment g
+    tot = svals[last]
+    return jnp.where((offs[1:] > offs[:-1])[:, None], tot, 0.0)
 
 
 @jax.custom_vjp
