@@ -30,15 +30,41 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img (B,C,H,W) ⊛ window (k,k) per channel, zero-padded SAME."""
+    """img (B,C,H,W) ⊛ window (k,k) per channel, zero-padded SAME.
+
+    The Gaussian window is rank-1 (outer(g, g)), so the 2D conv is run as
+    two 1D passes — k+k instead of k*k MACs per pixel, and jax.grad's
+    transposed convs shrink the same way. The 1D taps are recovered from
+    the 2D window's leading singular vector so any caller-supplied
+    separable window keeps working; a non-separable window would fall
+    back to the dense path."""
     c = img.shape[1]
     k = window.shape[0]
-    kernel = jnp.asarray(window)[None, None].repeat(c, axis=0)  # (C,1,k,k)
-    return jax.lax.conv_general_dilated(
-        img, kernel, window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    w = np.asarray(window, np.float64)
+    u, s, vt = np.linalg.svd(w)
+    if s[1:].max(initial=0.0) > 1e-12 * s[0]:   # not rank-1: dense conv
+        kernel = jnp.asarray(window)[None, None].repeat(c, axis=0)
+        return jax.lax.conv_general_dilated(
+            img, kernel, window_strides=(1, 1),
+            padding=[(k // 2, k // 2), (k // 2, k // 2)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    gcol = u[:, 0] * np.sqrt(s[0])
+    grow = vt[0] * np.sqrt(s[0])
+    if gcol.sum() < 0:                           # SVD sign convention
+        gcol, grow = -gcol, -grow
+    kh = jnp.asarray(gcol.astype(np.float32))[None, None, :, None]
+    kw = jnp.asarray(grow.astype(np.float32))[None, None, None, :]
+
+    def dw(x, kern, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            x, jnp.tile(kern, (c, 1, 1, 1)), window_strides=(1, 1),
+            padding=[pad_h, pad_w],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+
+    return dw(dw(img, kh, (k // 2, k // 2), (0, 0)),
+              kw, (0, 0), (k // 2, k // 2))
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,

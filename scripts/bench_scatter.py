@@ -143,6 +143,14 @@ def main():
         lp_s, b_s = epref(offs[:-1])
         return (lp_e - lp_s) + (hi[b_e] - hi[b_s]) + (lo[b_e] - lo[b_s])
 
+    from gslm_tpu.ops.rasterize_pallas import _segment_reduce_sorted
+
+    @jax.jit
+    def f_segscan(d, g):
+        # the PRODUCT sortseg path (r4): segmented associative scan, exact
+        # to ~eps*|segment content| — no prefix subtraction
+        return _segment_reduce_sorted(d, g, offs)
+
     ref = np.asarray(f_add(dfeat, gid_j))
     # float64 exact segment sums for the precision gate
     d64 = np.asarray(dfeat, np.float64)
@@ -156,7 +164,8 @@ def main():
                         ("set+seg", f_set_seg, (dfeat, e_j)),
                         ("sortseg", f_sortseg, (dfeat, gid_j)),
                         ("argsort", f_argsort, (dfeat, e_j)),
-                        ("sortseg2", f_sortseg2, (dfeat, gid_j))):
+                        ("sortseg2", f_sortseg2, (dfeat, gid_j)),
+                        ("segscan", f_segscan, (dfeat, gid_j))):
         got = np.asarray(fn(*a))
         ok = np.allclose(got, ref, atol=1e-3)
         relerr = float(np.max(np.abs(got - ref64) / scale))
