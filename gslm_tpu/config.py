@@ -92,6 +92,18 @@ class LMParams:
     num_val_views: int = 50            # train_jvp.py:214-216
     val_view_stride: int = 19
     check_divergence: bool = True
+    ls_subset_views: int = 0           # staged line search: rank the
+    #                                    alphas on the FIRST k val views
+    #                                    only, then score just the winner
+    #                                    on the full set. 0 = reference-
+    #                                    faithful (every alpha on every
+    #                                    val view, train_jvp.py:264-280).
+    #                                    Cuts line-search renders from
+    #                                    (steps+1)*num_val_views to
+    #                                    (steps+1)*k + num_val_views; can
+    #                                    pick a different alpha when the
+    #                                    subset ranking disagrees with the
+    #                                    full ranking.
 
     def damp_dict(self) -> dict[str, float]:
         return {"xyz": self.damp_xyz, "features_dc": self.damp_features_dc,

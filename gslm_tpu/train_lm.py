@@ -73,8 +73,14 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     nwin = window.world_view.shape[0]
     mb = lm.micro_batch if lm.micro_batch > 0 else nwin
     if nwin % mb != 0:
-        mb = nwin    # direct callers with odd sizes: whole window (the
-        #              lm_phase driver pads to a chunk multiple instead)
+        import warnings
+        warnings.warn(
+            f"lm_outer_step: window of {nwin} views is not a multiple of "
+            f"micro_batch={mb}; falling back to ONE whole-window render "
+            "(peak memory scales with the window — pad to a chunk "
+            "multiple with win_valid weights as lm_phase does)",
+            stacklevel=2)
+        mb = nwin
     chunked = nwin > mb
 
     def make_residual_fn(cfg):
@@ -105,8 +111,9 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     vweights = (jnp.ones((nval,), jnp.float32) if val_valid is None
                 else val_valid).reshape(nval // val_mb, val_mb)
     val_res = res_of(rcfg)
+    nch_total = nval // val_mb
 
-    def val_loss(p):
+    def val_loss_chunks(p, nch):
         # chunked sum of squared residual norms: bounded memory for the 50
         # validation views (reference train_jvp.py:214-216,264-280)
         def one(args):
@@ -114,10 +121,14 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
             r = val_res(p, cams)
             r = jax.tree.map(lambda x: x * w[:, None, None, None], r)
             return r.loss_scalar
-        loss = jnp.sum(jax.lax.map(one, (val_chunks, vweights)))
+        sel = jax.tree.map(lambda x: x[:nch], val_chunks)
+        loss = jnp.sum(jax.lax.map(one, (sel, vweights[:nch])))
         if axis_name is not None:
             return jax.lax.psum(loss, axis_name)
         return loss
+
+    def val_loss(p):
+        return val_loss_chunks(p, nch_total)
 
     group_mask = G.param_group_mask(
         mask_xyz=lm.mask_xyz)  # reference masks xyz only (train_jvp.py:221)
@@ -136,13 +147,32 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     # line search: alpha0 halved line_search_steps times, best val loss wins
     alphas = jnp.asarray([lm.line_search_alpha0 * (0.5 ** i)
                           for i in range(lm.line_search_steps + 1)])
-    losses = jax.lax.map(lambda a: val_loss(G.saxpy(a, s, params)), alphas)
-    best = jnp.argmin(losses)
-    best_alpha = alphas[best]
-    new_params = G.saxpy(best_alpha, s, params)
+    ks = lm.ls_subset_views
+    if 0 < ks < nval and lm.line_search_steps > 0:
+        # staged search: rank every alpha on the first ceil(k/chunk)
+        # chunks of val views only (per data-shard when sharded), then
+        # score just the winning alpha on the full set. Renders drop from
+        # (steps+1)*nval to (steps+1)*k + nval views; the selected alpha
+        # can differ from the reference's full-set ranking when the
+        # subset disagrees (config.py LMParams.ls_subset_views).
+        nch_sub = min(nch_total, max(1, -(-ks // val_mb)))
+        losses = jax.lax.map(
+            lambda a: val_loss_chunks(G.saxpy(a, s, params), nch_sub),
+            alphas)
+        best = jnp.argmin(losses)
+        best_alpha = alphas[best]
+        new_params = G.saxpy(best_alpha, s, params)
+        best_val_loss = val_loss(new_params)
+    else:
+        losses = jax.lax.map(lambda a: val_loss(G.saxpy(a, s, params)),
+                             alphas)
+        best = jnp.argmin(losses)
+        best_alpha = alphas[best]
+        best_val_loss = losses[best]
+        new_params = G.saxpy(best_alpha, s, params)
 
     info = {"start_loss": start_loss, "val_losses": losses,
-            "best_alpha": best_alpha, "best_val_loss": losses[best],
+            "best_alpha": best_alpha, "best_val_loss": best_val_loss,
             "step_norms": {g: jnp.linalg.norm(getattr(s, g))
                            for g in G.PARAM_GROUPS}}
     return new_params, info
@@ -210,8 +240,10 @@ def lm_phase(scene, params, aux, all_train: CameraBatch, rcfg, bg, lm,
     def run_step(p, cfg):
         if mesh is not None:
             # key includes cfg: overflow recovery doubles capacities
-            # mid-run and stale compiled steps must not survive it
-            key = (id(mesh), active_sh_degree, cfg)
+            # mid-run and stale compiled steps must not survive it.
+            # jax.sharding.Mesh hashes by devices+axis names — a stable
+            # identity, unlike id(mesh) which a GC'd mesh can alias
+            key = (mesh, active_sh_degree, cfg, lm, use_exp, lambda_dssim)
             if key not in _DP_LM_CACHE:
                 kw = dict(rcfg=cfg, lm=lm,
                           active_sh_degree=active_sh_degree,

@@ -179,3 +179,56 @@ def test_lm_probe_respects_micro_batch(tmp_path):
                           jnp.zeros(3), lm, 0, np.random.default_rng(0),
                           False, 0.2, 0, verbose=False)
     assert same == mid, (same.dup_capacity, mid.dup_capacity)
+
+
+def test_lm_staged_line_search(tmp_path):
+    """ls_subset_views > 0: alphas are ranked on a val subset and only the
+    winner is scored on the full set. With the subset covering ALL val
+    views the result must match the reference-faithful path exactly; with
+    a genuine subset, best_val_loss must equal the FULL-set loss at the
+    chosen alpha (not the subset ranking score)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.train_lm import lm_outer_step
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    all_train = batch_from_metas(scene.get_train_cameras())
+    rcfg = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    bg = jnp.zeros(3)
+    window = jax.tree.map(lambda x: x[:2], all_train)
+    val = jax.tree.map(lambda x: x[2:6], all_train)
+    base = cfg_mod.LMParams(num_images=2, micro_batch=2, num_val_views=4,
+                            val_view_stride=1, line_search_steps=3)
+
+    def run(lm):
+        p, info = lm_outer_step(scene.params, scene.aux.alive, window, val,
+                                bg, rcfg=rcfg, lm=lm, active_sh_degree=0,
+                                use_exp=False)
+        return p, info
+
+    import dataclasses as _dc
+    p_ref, i_ref = run(base)
+    # subset == all views (4 -> 2 chunks of 2): identical selection + loss
+    p_all, i_all = run(_dc.replace(base, ls_subset_views=4))
+    assert float(i_all["best_alpha"]) == float(i_ref["best_alpha"])
+    np.testing.assert_allclose(float(i_all["best_val_loss"]),
+                               float(i_ref["best_val_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_all.features_dc),
+                               np.asarray(p_ref.features_dc), rtol=1e-6)
+
+    # genuine subset (first chunk only): best_val_loss is the full-set
+    # loss of the chosen alpha — recompute it independently
+    p_sub, i_sub = run(_dc.replace(base, ls_subset_views=2))
+    a = float(i_sub["best_alpha"])
+    alphas_ref = [2.0 * 0.5 ** i for i in range(4)]
+    k = alphas_ref.index(a)
+    # the reference path's full-set losses at each alpha
+    np.testing.assert_allclose(float(i_sub["best_val_loss"]),
+                               float(np.asarray(i_ref["val_losses"])[k]),
+                               rtol=1e-5)
