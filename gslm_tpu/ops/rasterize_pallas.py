@@ -81,17 +81,29 @@ DEFAULT_PACK = int(_os.environ.get("GSLM_RASTER_PACK", "1"))
 
 
 class PackSpec:
-    """Static record-packing geometry the kernels close over."""
+    """Static record-packing geometry the kernels close over.
 
-    def __init__(self, pack: int):
+    ``rows``: VMEM rows per DMA chunk (``RasterConfig.chunk_rows``;
+    default keeps the historical K-records-per-chunk so pack=1 is
+    unchanged). ``krec`` = rows*pack records per chunk — at pack=8 the
+    default chunk is only 16 rows = 8 KB per DMA, so raising rows
+    amortizes DMA issue + loop overhead for million-Gaussian streams."""
+
+    def __init__(self, pack: int, rows: int | None = None):
         assert pack in (1, 2, 4, 8)
         assert K % pack == 0, \
             f"GSLM_RASTER_K={K} must be a multiple of pack={pack}"
         self.pack = pack
         self.feat = 128 // pack      # f32 fields per record slot (10 used)
         self.row = 128
-        self.rpc = K // pack         # rows per chunk
+        self.rpc = rows or (K // pack)    # rows per chunk
+        self.krec = self.rpc * pack       # records per chunk
         self.off = [k * self.feat for k in range(pack)]
+
+
+@functools.lru_cache(maxsize=None)
+def get_spec(pack: int, rows: int = 0) -> PackSpec:
+    return PackSpec(pack, rows or None)
 
 
 _SPECS = {p: PackSpec(p) for p in (1, 2, 4, 8)}
@@ -269,7 +281,7 @@ def _make_tile_kernel(ps: PackSpec):
             t = pid * GROUP + g
             start = starts_ref[t]     # padded record offset (pack-aligned)
             count = counts_ref[t]     # true record count
-            nchunks = pl.cdiv(count, K)
+            nchunks = pl.cdiv(count, ps.krec)
             px, py = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
@@ -293,7 +305,7 @@ def _make_tile_kernel(ps: PackSpec):
                 dma(slot, chunk).wait()
                 f = scratch[slot]                          # (rpc, 128)
 
-                subs = [_sub_geometry(ps, f, k, px, py, chunk * K, count)
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec, count)
                         for k in range(ps.pack)]
                 ls = [jnp.log1p(-s["a"]) for s in subs]
                 p_row = ls[0]
@@ -363,9 +375,10 @@ def _make_tile_kernel(ps: PackSpec):
 
 
 def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
-              interpret: bool, pack: int = DEFAULT_PACK):
+              interpret: bool, pack: int = DEFAULT_PACK,
+              chunk_rows: int = 0):
     """Invoke the forward compositor; returns (n_programs*GROUP, 8, 256)."""
-    ps = _SPECS[pack]
+    ps = get_spec(pack, chunk_rows)
     nt_pad = n_programs * GROUP
     nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -406,7 +419,7 @@ def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
             t = pid * GROUP + g
             start = starts_ref[t]
             count = counts_ref[t]
-            nchunks = pl.cdiv(count, K)
+            nchunks = pl.cdiv(count, ps.krec)
             px, py = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
@@ -471,7 +484,7 @@ def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
                 rdma(slot, chunk).wait()
                 f = rscratch[slot]
 
-                subs = [_sub_geometry(ps, f, k, px, py, chunk * K, count)
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec, count)
                         for k in range(ps.pack)]
                 ls = [jnp.log1p(-s["a"]) for s in subs]
                 p_row = ls[0]
@@ -588,13 +601,13 @@ def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
 
 def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
               n_programs: int, interpret: bool, pack: int = DEFAULT_PACK,
-              depth_grad: bool = True):
+              depth_grad: bool = True, chunk_rows: int = 0):
     """Invoke the backward compositor; returns dfeat with feat's shape.
 
     ``tiles`` is the saved forward output — its exit-state rows replace
     the old total-transmittance re-walk (pass 1), halving backward DMA
     and alpha recomputation."""
-    ps = _SPECS[pack]
+    ps = get_spec(pack, chunk_rows)
     nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -629,14 +642,16 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_composite(n_programs: int, ntiles: int, interpret: bool,
-                    mode: str, pack: int, depth_grad: bool = True):
+                    mode: str, pack: int, depth_grad: bool = True,
+                    chunk_rows: int = 0):
     """Composite-tiles function with the requested differentiation rule.
 
     mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
     mode="jvp": jax.custom_jvp via the fused tangent kernel (LM J v).
     JAX does not allow both rules on one function, so the LM operators pick
     the variant per matvec direction (solver/operators.py)."""
-    kw = dict(n_programs=n_programs, interpret=interpret, pack=pack)
+    kw = dict(n_programs=n_programs, interpret=interpret, pack=pack,
+              chunk_rows=chunk_rows)
     if mode == "vjp":
         @jax.custom_vjp
         def comp(feat, starts_plus, counts_pad):
@@ -664,7 +679,8 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
         return comp
     if mode == "jvp":
         from gslm_tpu.ops.rasterize_pallas_jvp import make_jvp_composite
-        return make_jvp_composite(n_programs, interpret, _fwd_call, pack)
+        return make_jvp_composite(n_programs, interpret, _fwd_call, pack,
+                                  chunk_rows=chunk_rows)
     return functools.partial(_fwd_call, **kw)
 
 
@@ -684,7 +700,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     pack = config.pack or DEFAULT_PACK
     assert L % pack == 0 and Leff % pack == 0, \
         f"dup/live capacity ({L}/{Leff}) must be a multiple of pack={pack}"
-    ps = _SPECS[pack]
+    ps = get_spec(pack, config.chunk_rows)
     ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
     ntiles = ntx * nty
     if view_rows is None:
@@ -762,10 +778,10 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         feat = _gather_records_seg(records, gid2, offs)
     else:
         feat = _gather_records(records, gid2)
-    # extra K pad records absorb the final chunk over-read
+    # extra chunk-size pad records absorb the final chunk over-read
     feat = jnp.concatenate(
-        [feat, jnp.zeros((K, ps.feat), jnp.float32)], axis=0)
-    feat = feat.reshape((L2 + K) // pack, ps.row)
+        [feat, jnp.zeros((ps.krec, ps.feat), jnp.float32)], axis=0)
+    feat = feat.reshape((L2 + ps.krec) // pack, ps.row)
 
     # pad the tile axis to a GROUP multiple (count 0 => tile renders bg),
     # and stash ntx after the starts so the kernel can derive tile coords
@@ -779,7 +795,7 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 
     comp = _make_composite(n_programs, ntiles, interpret, mode, pack,
-                           config.depth_grad)
+                           config.depth_grad, config.chunk_rows)
     tiles = comp(feat, starts_plus, counts_pad)
     tiles = tiles[:ntiles]
 

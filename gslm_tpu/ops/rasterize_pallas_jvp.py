@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gslm_tpu.ops.composite import T_EPS
-from gslm_tpu.ops.rasterize_pallas import (_SPECS, DEFAULT_PACK, GROUP, K,
+from gslm_tpu.ops.rasterize_pallas import (DEFAULT_PACK, GROUP, K, get_spec,
                                            OUT_ROWS, PIX, PackSpec, _sub,
                                            _sub_geometry, _tile_px,
                                            strict_prefix_sum)
@@ -48,7 +48,7 @@ def _make_tile_jvp_kernel(ps: PackSpec):
             t = pid * GROUP + g
             start = starts_ref[t]
             count = counts_ref[t]
-            nchunks = pl.cdiv(count, K)
+            nchunks = pl.cdiv(count, ps.krec)
             px, py = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
@@ -78,7 +78,7 @@ def _make_tile_jvp_kernel(ps: PackSpec):
                 f = fscratch[slot]
                 fd = dscratch[slot]
 
-                subs = [_sub_geometry(ps, f, k, px, py, chunk * K, count)
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec, count)
                         for k in range(ps.pack)]
                 ls = [jnp.log1p(-s["a"]) for s in subs]
                 dlogs = []
@@ -167,8 +167,9 @@ def _make_tile_jvp_kernel(ps: PackSpec):
 
 
 def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
-              interpret: bool, pack: int = DEFAULT_PACK):
-    ps = _SPECS[pack]
+              interpret: bool, pack: int = DEFAULT_PACK,
+              chunk_rows: int = 0):
+    ps = get_spec(pack, chunk_rows)
     nt_pad = n_programs * GROUP
     nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -207,9 +208,10 @@ def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
 
 
 def make_jvp_composite(n_programs: int, interpret: bool, fwd_call,
-                       pack: int = DEFAULT_PACK):
+                       pack: int = DEFAULT_PACK, chunk_rows: int = 0):
     """Composite-tiles function with a custom_jvp rule (for jax.jvp)."""
-    kw = dict(n_programs=n_programs, interpret=interpret, pack=pack)
+    kw = dict(n_programs=n_programs, interpret=interpret, pack=pack,
+              chunk_rows=chunk_rows)
 
     @jax.custom_jvp
     def comp(feat, starts_plus, counts_pad):

@@ -43,7 +43,8 @@ from gslm_tpu.struct import pytree_dataclass
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
                                  "antialiasing", "impl", "pack", "cull",
                                  "live_capacity", "depth_grad",
-                                 "mp_route_capacity", "bwd_reduce"))
+                                 "mp_route_capacity", "bwd_reduce",
+                                 "chunk_rows"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -97,8 +98,20 @@ class RasterConfig:
     #                                 must pass the 1e-4 on-hardware grad
     #                                 parity gate before being defaulted —
     #                                 the r3 cumsum-diff variant failed it)
+    chunk_rows: int = 0             # Pallas VMEM rows per DMA chunk
+    #                                 (0 → GSLM_RASTER_K/pack, i.e. a
+    #                                 fixed record count per chunk). At
+    #                                 pack=8 the default chunk is 16 rows
+    #                                 = 8 KB per DMA; raising it amortizes
+    #                                 DMA issue + loop overhead for
+    #                                 million-Gaussian streams at the cost
+    #                                 of coarser early-exit granularity
 
     def __post_init__(self):
+        if self.chunk_rows < 0 or self.chunk_rows % 8:
+            raise ValueError(
+                f"chunk_rows={self.chunk_rows}: must be a non-negative "
+                "multiple of 8 (VMEM sublane tile)")
         if self.bwd_reduce not in ("scatter", "sortseg"):
             raise ValueError(
                 f"bwd_reduce={self.bwd_reduce!r}: must be 'scatter' or "

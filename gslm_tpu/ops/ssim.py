@@ -29,15 +29,43 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return w2d
 
 
+def _shift_add_1d(img: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """1D zero-padded SAME correlation along ``axis`` as k shifted adds.
+
+    TPU-native small-channel "convolution". Three designs measured at
+    1080p on v5e (scripts/profile_adam.py + forced-readback timing, r4):
+    lax.conv with feature_group_count=C (C=3) cannot tile onto the MXU
+    (~99 ms for the 5 SSIM blurs); a banded-Toeplitz einsum on the MXU
+    ships (n, n) matrix literals with every remote execution (~41 ms
+    fwd+bwd); k static slices of one zero-padded buffer fuse into a
+    single elementwise XLA pass (k loads + 1 store per pixel) and win at
+    ~16 ms fwd+bwd for the whole 5-statistic stack. Plain jnp ops keep
+    jax.grad (slice-transpose chain), jax.jvp (linear map), vmap, and
+    shard_map all exact with no custom rules."""
+    k = len(taps)
+    r = k // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(img, pad)
+    n = img.shape[axis]
+    out = None
+    for t in range(k):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(t, t + n)
+        term = np.float32(taps[t]) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """img (B,C,H,W) ⊛ window (k,k) per channel, zero-padded SAME.
 
     The Gaussian window is rank-1 (outer(g, g)), so the 2D conv is run as
-    two 1D passes — k+k instead of k*k MACs per pixel, and jax.grad's
-    transposed convs shrink the same way. The 1D taps are recovered from
-    the 2D window's leading singular vector so any caller-supplied
-    separable window keeps working; a non-separable window would fall
-    back to the dense path."""
+    two 1D shift-add passes — k+k instead of k*k MACs per pixel, all in
+    fused elementwise XLA ops (see _shift_add_1d). The 1D taps are
+    recovered from the 2D window's leading singular vector so any
+    caller-supplied separable window keeps working; a non-separable
+    window falls back to the dense conv path."""
     c = img.shape[1]
     k = window.shape[0]
     w = np.asarray(window, np.float64)
@@ -53,18 +81,47 @@ def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     grow = vt[0] * np.sqrt(s[0])
     if gcol.sum() < 0:                           # SVD sign convention
         gcol, grow = -gcol, -grow
-    kh = jnp.asarray(gcol.astype(np.float32))[None, None, :, None]
-    kw = jnp.asarray(grow.astype(np.float32))[None, None, None, :]
+    out = _shift_add_1d(img, gcol.astype(np.float32), axis=img.ndim - 2)
+    return _shift_add_1d(out, grow.astype(np.float32), axis=img.ndim - 1)
 
-    def dw(x, kern, pad_h, pad_w):
-        return jax.lax.conv_general_dilated(
-            x, jnp.tile(kern, (c, 1, 1, 1)), window_strides=(1, 1),
-            padding=[pad_h, pad_w],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
-    return dw(dw(img, kh, (k // 2, k // 2), (0, 0)),
-              kw, (0, 0), (k // 2, k // 2))
+@functools.lru_cache(maxsize=8)
+def _diag_kernels(c: int, window_size: int, sigma: float):
+    """Diagonal dense-conv kernels for a c-channel separable blur.
+
+    A feature_group_count=c depthwise conv cannot tile onto the MXU
+    (contraction dim 1); a DENSE (c, c, k, 1) kernel whose off-diagonal
+    channels are zero computes the identical per-channel blur as a real
+    c*k-contraction MXU convolution. Wasteful in FLOPs (c x), free in
+    wall time at c=15."""
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2 * sigma ** 2)).astype(np.float64)
+    g = (g / g.sum()).astype(np.float32)
+    kh = np.zeros((c, c, window_size, 1), np.float32)
+    kw = np.zeros((c, c, 1, window_size), np.float32)
+    for i in range(c):
+        kh[i, i, :, 0] = g
+        kw[i, i, 0, :] = g
+    return kh, kw
+
+
+def _blur_nchw(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (B, C, H, W), zero-padded SAME, via two
+    diagonal dense convs (see _diag_kernels). jax.grad's transpose and
+    jax.jvp are convs of the same shape — MXU all the way down."""
+    c = x.shape[1]
+    kh, kw = _diag_kernels(c, window_size, sigma)
+    r = window_size // 2
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kh), window_strides=(1, 1),
+        padding=[(r, r), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(kw), window_strides=(1, 1),
+        padding=[(0, 0), (r, r)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
@@ -73,14 +130,19 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     squeeze = img1.ndim == 3
     if squeeze:
         img1, img2 = img1[None], img2[None]
-    window = _gaussian_window(window_size, sigma)
 
-    mu1 = _depthwise_conv(img1, window)
-    mu2 = _depthwise_conv(img2, window)
+    # all 5 windowed statistics ride ONE channel-stacked separable blur
+    # (2 dense convs on the MXU instead of 10 depthwise/VPU passes)
+    stats = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
+    blurred = _blur_nchw(stats, window_size, sigma)
+    c = img1.shape[1]
+    mu1, mu2, e11, e22, e12 = (blurred[:, i * c:(i + 1) * c]
+                               for i in range(5))
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu1_mu2
 
     out = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) /
            ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))

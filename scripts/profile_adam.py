@@ -119,6 +119,22 @@ def main():
         timeit(jax.jit(jax.grad(stl_m2d, argnums=(0, 1))),
                (params, m2d0)))
 
+    # + depth-L1 term (train.py's depth regularization with traced weight)
+    def stl_depth(p, m2d, dw):
+        loss, info = scalar_training_loss(
+            p, cam1, bg, config=cfg, lambda_dssim=0.2,
+            use_trained_exp=False, active_sh_degree=3, alive=aux.alive,
+            mean2d_offset=m2d)
+        out = info["render"]
+        npix = jnp.maximum(jnp.sum(cam1.depth_mask), 1.0)
+        depth_l1 = jnp.sum(jnp.abs(out.invdepth - cam1.invdepth_gt)
+                           * cam1.depth_mask) / npix
+        return loss + dw * depth_l1
+
+    rec("+ depth-L1 (traced weight 0)",
+        timeit(jax.jit(jax.grad(stl_depth, argnums=(0, 1))),
+               (params, m2d0, jnp.float32(0.0))))
+
     # full train_step
     opt = cfg_mod.OptimizationParams()
     opt_state = init_adam(params)
