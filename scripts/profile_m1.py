@@ -9,10 +9,12 @@ This script answers, on hardware:
     record) is net faster AND still fits;
   - what cull/live_capacity buy at this scale.
 
-Usage: python scripts/profile_m1.py [pack ...]   (default: 8 4 2)
+Usage: python scripts/profile_m1.py [--packs 8 4 2] [--rows 0 64 128 256]
+                                    [--reduce scatter sortseg] [--stages]
 """
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
@@ -44,7 +46,19 @@ def main():
     from gslm_tpu.renderer import render
     from gslm_tpu.utils.synthetic import make_camera, random_gaussians
 
-    packs = [int(a) for a in sys.argv[1:]] or [8, 4, 2]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--packs", type=int, nargs="*", default=[8, 4, 2])
+    ap.add_argument("--rows", type=int, nargs="*", default=[0],
+                    help="chunk_rows values to sweep (0 = legacy default)")
+    ap.add_argument("--reduce", nargs="*", default=["scatter"],
+                    choices=["scatter", "sortseg"],
+                    help="bwd_reduce variants for the fwd+bwd timing")
+    ap.add_argument("--stages", action="store_true",
+                    help="also run the isolated front-end stage timings")
+    ap.add_argument("--fwd_only", action="store_true",
+                    help="skip the fwd+bwd timing (cheap chunk_rows sweeps)")
+    args = ap.parse_args()
+    packs = args.packs
     rng = np.random.default_rng(2)
     P1, H, W = 1 << 20, 1080, 1920
     params, aux = random_gaussians(rng, n=P1, capacity=P1, num_images=1,
@@ -54,24 +68,33 @@ def main():
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
 
     for pack in packs:
-        cfg = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,
-                           tile_chunk=64, impl="pallas", pack=pack,
-                           live_capacity=10 << 20)
-        try:
-            fwd = jax.jit(lambda p, cfg=cfg: render(
-                p, camera, bg, config=cfg, alive=aux.alive).render)
+        for rows in args.rows:
+            for red in args.reduce:
+                cfg = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,
+                                   tile_chunk=64, impl="pallas", pack=pack,
+                                   live_capacity=10 << 20, chunk_rows=rows,
+                                   bwd_reduce=red)
+                try:
+                    fwd = jax.jit(lambda p, cfg=cfg: render(
+                        p, camera, bg, config=cfg, alive=aux.alive).render)
 
-            def fb(p, cfg=cfg):
-                def loss(p):
-                    img = render(p, camera, bg, config=cfg,
-                                 alive=aux.alive).render
-                    return jnp.mean(jnp.abs(img - gt))
-                return jax.value_and_grad(loss)(p)[1].xyz
-            print(f"pack={pack}  fwd {t_ms(fwd, (params,)):8.2f} ms   "
-                  f"fwd+bwd {t_ms(jax.jit(fb), (params,)):8.2f} ms",
-                  flush=True)
-        except Exception as e:   # noqa: BLE001 — OOM etc: report, continue
-            print(f"pack={pack}  FAILED: {str(e)[:160]}", flush=True)
+                    def fb(p, cfg=cfg):
+                        def loss(p):
+                            img = render(p, camera, bg, config=cfg,
+                                         alive=aux.alive).render
+                            return jnp.mean(jnp.abs(img - gt))
+                        return jax.value_and_grad(loss)(p)[1].xyz
+                    msg = (f"pack={pack} rows={rows:3d} {red:7s}  "
+                           f"fwd {t_ms(fwd, (params,)):8.2f} ms")
+                    if not args.fwd_only:
+                        msg += f"   fwd+bwd {t_ms(jax.jit(fb), (params,)):8.2f} ms"
+                    print(msg, flush=True)
+                except Exception as e:   # noqa: BLE001 — OOM: report, go on
+                    print(f"pack={pack} rows={rows} {red}  FAILED: "
+                          f"{str(e)[:160]}", flush=True)
+
+    if not args.stages:
+        return
 
     # ---- isolated stages at m1 scale (pack-independent front-end) ------
     cfg = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,

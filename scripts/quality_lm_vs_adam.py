@@ -5,6 +5,7 @@ bars (VERDICT r2 weak #6). Produces the README numbers.
 
 Usage: python scripts/quality_lm_vs_adam.py [--small] [--large]
                                             [--seeds N]
+                                            [--win W --cg K --ls S]
 """
 from __future__ import annotations
 
@@ -21,7 +22,8 @@ from tests.quality_harness import (build_problem, eval_psnr,  # noqa: E402
                                    lm_cost_in_adam_steps, run_adam, run_lm)
 
 
-def run_one(seed: int, kw: dict, iters: int, dens_until: int, extra: int):
+def run_one(seed: int, kw: dict, iters: int, dens_until: int, extra: int,
+            lm=None):
     params, aux, cams, rcfg, bg = build_problem(seed=seed, **kw)
     p_init = eval_psnr(params, aux, cams, rcfg, bg)
 
@@ -38,9 +40,10 @@ def run_one(seed: int, kw: dict, iters: int, dens_until: int, extra: int):
                       start_iter=iters, densify_until=0, seed=seed + 2)
     p_adam = eval_psnr(pa, aa, cams, rcfg, bg)
 
-    lm = cfg_mod.LMParams(num_images=4, num_val_views=4, val_view_stride=1,
-                          cg_max_iter=2, cg_restart_iter=1,
-                          line_search_steps=6, mask_xyz=False)
+    lm = lm or cfg_mod.LMParams(num_images=4, num_val_views=4,
+                                val_view_stride=1, cg_max_iter=2,
+                                cg_restart_iter=1, line_search_steps=6,
+                                mask_xyz=False)
     n_lm = max(1, round(extra / lm_cost_in_adam_steps(lm)))
     pl_ = run_lm(params, aux, cams, rcfg, bg, steps=n_lm, lm=lm,
                  seed=seed + 3)
@@ -57,6 +60,22 @@ def main():
     n_seeds = 3
     if "--seeds" in sys.argv:
         n_seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
+
+    def argval(flag, default):
+        return (int(sys.argv[sys.argv.index(flag) + 1])
+                if flag in sys.argv else default)
+
+    lm = None
+    if any(f in sys.argv for f in ("--win", "--cg", "--ls")):
+        # r3 finding (README): in the capacity-starved regime narrow
+        # windows with cg 2 trail Adam; full-window normal equations
+        # (window 8 / cg 4) win. Expose the knobs so the on-chip defense
+        # runs at the winning settings (VERDICT r3 next #7).
+        lm = cfg_mod.LMParams(
+            num_images=argval("--win", 8), num_val_views=8,
+            val_view_stride=1, cg_max_iter=argval("--cg", 4),
+            cg_restart_iter=1, line_search_steps=argval("--ls", 6),
+            mask_xyz=False)
     if small:
         kw = dict(n_rich=400, n_init=60, capacity=1024, n_views=6, hw=64)
         iters, dens_until, extra = 1400, 900, 200
@@ -72,7 +91,10 @@ def main():
                   hw=128, dup_capacity=1 << 20)
         iters, dens_until, extra = 6000, 1500, 400
 
-    rows = [run_one(s, kw, iters, dens_until, extra)
+    if lm is not None:
+        print(f"LM settings: window {lm.num_images} / cg {lm.cg_max_iter} "
+              f"/ ls {lm.line_search_steps}")
+    rows = [run_one(s, kw, iters, dens_until, extra, lm=lm)
             for s in range(n_seeds)]
     plat, adam, lm = (np.array(c) for c in zip(*rows))
     d_adam, d_lm = adam - plat, lm - plat
