@@ -39,6 +39,12 @@ from gslm_tpu.ops.composite import alpha_from_conic, composite_weights
 from gslm_tpu.ops.projection import TILE, Splats2D, quad_min_rect
 from gslm_tpu.struct import pytree_dataclass
 
+# int32 sort-key budget: (ntiles+1) << bit_length(P-1) must fit, else
+# duplicate_sort_ranges falls back to the split-key two-key stable sort.
+# Module-level (not hardcoded at the branch) so tests can patch it down
+# and pin the split-key path at small shapes (tests/test_cull.py).
+_KEY_BUDGET = 1 << 31
+
 
 @pytree_dataclass(static_fields=("dup_capacity", "max_per_tile", "tile_chunk",
                                  "antialiasing", "impl", "pack", "cull",
@@ -393,7 +399,7 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     else:
         payloads = ()
 
-    if (ntiles + 1) << B <= (1 << 31):
+    if (ntiles + 1) << B <= _KEY_BUDGET:
         key_shift = B
         key = jnp.where(entry_live,
                         (tile << B) | rank_e,
@@ -404,7 +410,7 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         ccols_l = sorted_l[1:]
     else:
         # split rank across key high bits + payload (rare: huge P*tiles)
-        hi_bits = 31 - (ntiles + 1).bit_length()
+        hi_bits = _KEY_BUDGET.bit_length() - 1 - (ntiles + 1).bit_length()
         key_shift = hi_bits
         key = jnp.where(entry_live,
                         (tile << hi_bits) | (rank_e >> (B - hi_bits)),
