@@ -13,21 +13,33 @@ Sub-metrics (the honest training comparators, VERDICT r2 weak #2):
     (README.md:271, 390k iterations);
   - LM operator throughput (J.v / J^T.u matvecs/s) and the FULL LM outer
     step at reference settings (window 5 @1080p, 50 val views x 7
-    line-search alphas, cg 2 — train_jvp.py:428-429,255-256,214-216) with
-    a stage breakdown: line-search cost (ls1 = 1-alpha variant) and the
-    check_divergence recompute cost (nodiv variant);
+    line-search alphas, cg 2 — train_jvp.py:428-429,255-256,214-216);
   - a million-Gaussian configuration (P=2^20 @1080p, pack=8 record
     stream) probing the reference's multi-million-splat envelope
     (README.md:88).
 
-Usage: python bench.py [--quick]
+Driver-budget discipline (VERDICT r4 #1 — BENCH_r04 was rc:124/null):
+  - a persistent XLA compilation cache (.jax_cache/, env GSLM_CACHE_DIR)
+    makes the ~15 large program compiles a once-per-machine cost;
+  - ``--budget SECS`` (default 840) is a soft deadline checked between
+    sections — sections that don't fit are skipped and *recorded* as
+    skipped — plus a hard watchdog at budget+120 s that prints the JSON
+    accumulated so far and exits 0 (a partial record beats rc:124);
+  - sections run cheapest-first so a timeout loses the least;
+  - the four LM outer variants are trimmed to full+staged by default
+    (``--lm_variants all`` restores ls1/nodiv; their stage split is
+    derivable from the full/staged/ls-off triple anyway).
+
+Usage: python bench.py [--quick] [--budget SECS] [--lm_variants all]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -35,15 +47,49 @@ import numpy as np
 BASELINE_RAYS_PER_S = 30.0 * 1920 * 1080   # reference README.md:14
 A6000_ITER_MS = 65.0                       # README.md:271: 7h/390k iters
 
+_t_start = time.monotonic()
+_result_lock = threading.Lock()
+_result: dict = {"metric": "render_1080p_rays_per_s", "value": 0.0,
+                 "unit": "rays/s/chip", "vs_baseline": 0.0, "extra": {}}
+_emitted = False
 
-def _time_calls(fn, args, iters: int, warmup: int = 2) -> float:
-    """Median-of-3 wall time per call; one device sync per timing block."""
+
+def _emit(partial: bool = False) -> None:
+    """Print the single JSON line exactly once (watchdog or main path)."""
+    global _emitted
+    with _result_lock:
+        if _emitted:
+            return
+        _emitted = True
+        if partial:
+            _result["extra"]["budget_exceeded"] = True
+        _result["extra"]["elapsed_s"] = round(time.monotonic() - _t_start, 1)
+        print(json.dumps(_result), flush=True)
+
+
+def _watchdog(hard_deadline_s: float) -> None:
+    """Emit whatever completed and exit if the main thread is stuck past
+    the hard deadline (XLA compiles release the GIL, so this thread runs
+    even while a giant program compiles)."""
+    delay = hard_deadline_s - (time.monotonic() - _t_start)
+    if delay > 0:
+        time.sleep(delay)
+    print(f"bench watchdog: hard deadline hit at "
+          f"{time.monotonic() - _t_start:.0f}s; emitting partial record",
+          file=sys.stderr, flush=True)
+    _emit(partial=True)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _time_calls(fn, args, iters: int, warmup: int = 2, reps: int = 3) -> float:
+    """Median-of-reps wall time per call; one device sync per block."""
     import jax
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
@@ -58,9 +104,31 @@ def main():
                     help="small shapes (CI/CPU smoke)")
     ap.add_argument("--skip_1m", action="store_true",
                     help="skip the million-Gaussian config")
+    ap.add_argument("--budget", type=float, default=840.0,
+                    help="soft wall-clock budget (s); sections that don't "
+                         "fit are skipped and recorded as skipped")
+    ap.add_argument("--lm_variants", choices=["default", "all", "none"],
+                    default="default",
+                    help="LM outer variants: default=full+staged, "
+                         "all=+ls1/nodiv, none=skip")
+    ap.add_argument("--no_cache", action="store_true",
+                    help="disable the persistent compilation cache")
     args = ap.parse_args()
 
+    threading.Thread(target=_watchdog, args=(args.budget + 120.0,),
+                     daemon=True).start()
+
     import jax
+
+    if not args.no_cache:
+        cache_dir = os.environ.get(
+            "GSLM_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from gslm_tpu import config as cfg_mod
@@ -73,6 +141,22 @@ def main():
     from gslm_tpu.train_lm import lm_outer_step
     from gslm_tpu.utils.synthetic import (make_camera, random_gaussians,
                                           ring_camera_batch)
+
+    extra = _result["extra"]
+    skipped: list[str] = []
+    extra["skipped"] = skipped
+
+    def budget_left() -> float:
+        return args.budget - (time.monotonic() - _t_start)
+
+    def fits(name: str, need_s: float) -> bool:
+        """Soft-deadline gate: skip (and record) sections that don't fit."""
+        if budget_left() >= need_s:
+            return True
+        print(f"bench: skipping {name} (needs ~{need_s:.0f}s, "
+              f"{budget_left():.0f}s left)", file=sys.stderr, flush=True)
+        skipped.append(name)
+        return False
 
     on_tpu = jax.default_backend() == "tpu"
     if args.quick:
@@ -104,19 +188,22 @@ def main():
     # groups x both bwd_reduce x cull/pack/batch variants x JVP paths,
     # gslm_tpu/utils/paritycheck.py) is how the r3 sortseg regression
     # class gets caught before it ships (VERDICT r3 weak #7).
-    parity_ok = True
-    parity_table = None
+    extra["parity_ok"] = True
+    extra["parity"] = None
     if on_tpu:
         from gslm_tpu.utils.paritycheck import run_parity_matrix
-        pm = run_parity_matrix()
-        parity_ok = pm["ok"]
-        parity_table = {k: {"ok": v["ok"],
-                            "max_err": round(v["max_err"], 9)}
-                        for k, v in pm["variants"].items()}
+        pm = run_parity_matrix(quick=args.quick)
+        extra["parity_ok"] = pm["ok"]
+        extra["parity"] = {k: {"ok": v["ok"],
+                               "max_err": round(v["max_err"], 9)}
+                           for k, v in pm["variants"].items()}
         for k, v in pm["variants"].items():
             if not v["ok"]:
                 print(f"PARITY FAILURE {k}: max_err={v['max_err']:.3e} "
                       f"{v.get('per_group', '')}", file=sys.stderr)
+
+    extra.update(n_gaussians=n_gauss, resolution=f"{W}x{H}",
+                 device=str(jax.devices()[0]), quick=args.quick)
 
     # ---- forward render (headline) ------------------------------------
     @jax.jit
@@ -125,6 +212,9 @@ def main():
 
     t_fwd = _time_calls(fwd, (params, camera, bg), iters)
     rays_fwd = H * W / t_fwd
+    _result.update(value=round(rays_fwd, 1),
+                   vs_baseline=round(rays_fwd / BASELINE_RAYS_PER_S, 4))
+    extra["fwd_ms"] = round(t_fwd * 1e3, 3)
 
     # ---- forward + backward -------------------------------------------
     @jax.jit
@@ -136,7 +226,8 @@ def main():
         return loss, g.xyz
 
     t_fb = _time_calls(fwd_bwd, (params, camera, bg, gt), max(iters // 2, 3))
-    rays_fb = H * W / t_fb
+    extra["fwd_bwd_rays_per_s"] = round(H * W / t_fb, 1)
+    extra["fwd_bwd_ms"] = round(t_fb * 1e3, 3)
 
     # ---- full Adam training iteration (A6000 ~65 ms/iter comparator) ---
     cam1 = ring_camera_batch(1, H, W)
@@ -148,6 +239,8 @@ def main():
                    sparse_adam=False, update_stats=True)
     t_adam = _time_calls(lambda *a: train_step(*a, **adam_kw), adam_args,
                          max(iters // 2, 3))
+    extra["adam_iter_ms"] = round(t_adam * 1e3, 3)
+    extra["adam_iter_vs_a6000"] = round(A6000_ITER_MS / (t_adam * 1e3), 4)
 
     # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
     lm_cams_small = ring_camera_batch(2, lm_hw if args.quick else 540,
@@ -181,51 +274,16 @@ def main():
     matvec = jax.jit(lambda p, vv: jax.jvp(fn_jvp, (p,), (vv,))[1])
     matvec_T = jax.jit(lambda p, uu: jax.vjp(residual_fn, p)[1](uu)[0])
 
-    t_mv = _time_calls(matvec, (params, v), max(iters // 2, 3))
-    u = matvec(params, v)
-    t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
-
-    # ---- FULL LM outer step at reference settings (SURVEY §3.2) --------
-    # window 5 @1080p, 50 val views x 7 line-search alphas, cg 2:
-    # the cost anatomy the LM phase must win at. Stage breakdown via two
-    # variants: ls1 (single line-search alpha) isolates the line search,
-    # nodiv (check_divergence off) isolates the CGLS true-residual
-    # recompute (solver/cg.py:171-180).
-    lm_win = ring_camera_batch(lm_views, H, W)
-    lm_valb = ring_camera_batch(lm_val, H, W, gt_seed=1)
-    # 5-view fused window: ~5x the single-view record stream
-    win_cfg = RasterConfig(
-        dup_capacity=cfg.dup_capacity * lm_views, max_per_tile=2048,
-        tile_chunk=cfg.tile_chunk, impl=cfg.impl, pack=8 if on_tpu else 0,
-        live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
-    lm_full = cfg_mod.LMParams()          # reference defaults
-    lm_ls1 = cfg_mod.LMParams(line_search_steps=0)
-    lm_nodiv = cfg_mod.LMParams(check_divergence=False)
-    lm_staged = cfg_mod.LMParams(ls_subset_views=10)   # staged line search
-
-    def outer(lmp):
-        def f(p):
-            return lm_outer_step(p, aux.alive, lm_win, lm_valb, bg,
-                                 rcfg=win_cfg, lm=lmp, active_sh_degree=3,
-                                 use_exp=False)[1]["best_val_loss"]
-        return f
-
-    lm_times = {}
-    if not args.quick:
-        for name, lmp in (("lm_outer_step_s", lm_full),
-                          ("lm_outer_ls1_s", lm_ls1),
-                          ("lm_outer_nodiv_s", lm_nodiv),
-                          ("lm_outer_staged_s", lm_staged)):
-            try:
-                lm_times[name] = round(
-                    _time_calls(outer(lmp), (params,), 1, warmup=1), 3)
-            except Exception as e:   # noqa: BLE001 - report, don't die
-                print(f"{name} failed: {e}", file=sys.stderr)
-                lm_times[name] = None
+    if fits("lm_operators", 60):
+        t_mv = _time_calls(matvec, (params, v), max(iters // 2, 3))
+        u = matvec(params, v)
+        t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
+        extra["lm_matvec_per_s"] = round(1.0 / t_mv, 3)
+        extra["lm_matvec_T_per_s"] = round(1.0 / t_mvT, 3)
 
     # ---- million-Gaussian configuration (reference 24 GB envelope) -----
-    m1 = None
-    if on_tpu and not args.quick and not args.skip_1m:
+    if on_tpu and not args.quick and not args.skip_1m \
+            and fits("m1", 120):
         try:
             P1 = 1 << 20
             p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
@@ -252,39 +310,59 @@ def main():
             t1fb = _time_calls(fwd_bwd1, (p1, camera, bg, gt), 3)
             diag = jax.jit(lambda p, cam: render(
                 p, cam, bg, config=cfg1, alive=a1.alive).n_duplicates)
-            m1 = {"fwd_ms": round(t1f * 1e3, 3),
-                  "fwd_bwd_ms": round(t1fb * 1e3, 3),
-                  "n_gaussians": P1,
-                  "n_records": int(diag(p1, camera)),
-                  "dup_capacity": cfg1.dup_capacity}
+            extra["m1"] = {"fwd_ms": round(t1f * 1e3, 3),
+                           "fwd_bwd_ms": round(t1fb * 1e3, 3),
+                           "n_gaussians": P1,
+                           "n_records": int(diag(p1, camera)),
+                           "dup_capacity": cfg1.dup_capacity}
         except Exception as e:       # noqa: BLE001 - report, don't die
             print(f"1M config failed: {e}", file=sys.stderr)
-            m1 = {"error": str(e)[:200]}
+            extra["m1"] = {"error": str(e)[:200]}
 
-    result = {
-        "metric": "render_1080p_rays_per_s",
-        "value": round(rays_fwd, 1),
-        "unit": "rays/s/chip",
-        "vs_baseline": round(rays_fwd / BASELINE_RAYS_PER_S, 4),
-        "extra": {
-            "fwd_ms": round(t_fwd * 1e3, 3),
-            "fwd_bwd_rays_per_s": round(rays_fb, 1),
-            "fwd_bwd_ms": round(t_fb * 1e3, 3),
-            "adam_iter_ms": round(t_adam * 1e3, 3),
-            "adam_iter_vs_a6000": round(A6000_ITER_MS / (t_adam * 1e3), 4),
-            "lm_matvec_per_s": round(1.0 / t_mv, 3),
-            "lm_matvec_T_per_s": round(1.0 / t_mvT, 3),
-            **lm_times,
-            "m1": m1,
-            "n_gaussians": n_gauss,
-            "resolution": f"{W}x{H}",
-            "device": str(jax.devices()[0]),
-            "quick": args.quick,
-            "parity_ok": parity_ok,
-            "parity": parity_table,
-        },
-    }
-    print(json.dumps(result))
+    # ---- FULL LM outer step at reference settings (SURVEY §3.2) --------
+    # window 5 @1080p, 50 val views x 7 line-search alphas, cg 2:
+    # the cost anatomy the LM phase must win at. Variants: staged
+    # (ls_subset_views=10) ranks alphas on a stride-sampled val subset;
+    # ls1/nodiv (--lm_variants all) isolate the line-search and
+    # check_divergence costs (measured r4: ls ~20 s of 26.7, nodiv ~0.2 s).
+    lm_win = ring_camera_batch(lm_views, H, W)
+    lm_valb = ring_camera_batch(lm_val, H, W, gt_seed=1)
+    # 5-view fused window: ~5x the single-view record stream
+    win_cfg = RasterConfig(
+        dup_capacity=cfg.dup_capacity * lm_views, max_per_tile=2048,
+        tile_chunk=cfg.tile_chunk, impl=cfg.impl, pack=8 if on_tpu else 0,
+        live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
+    variants = []
+    if args.lm_variants != "none" and not args.quick:
+        variants = [("lm_outer_step_s", cfg_mod.LMParams()),
+                    ("lm_outer_staged_s",
+                     cfg_mod.LMParams(ls_subset_views=10))]
+        if args.lm_variants == "all":
+            variants += [
+                ("lm_outer_ls1_s", cfg_mod.LMParams(line_search_steps=0)),
+                ("lm_outer_nodiv_s",
+                 cfg_mod.LMParams(check_divergence=False))]
+
+    def outer(lmp):
+        def f(p):
+            return lm_outer_step(p, aux.alive, lm_win, lm_valb, bg,
+                                 rcfg=win_cfg, lm=lmp, active_sh_degree=3,
+                                 use_exp=False)[1]["best_val_loss"]
+        return f
+
+    for name, lmp in variants:
+        # warm-cache estimate: 1 warmup + 2 reps of a <=30 s step, plus
+        # slack for a cold compile the cache hasn't seen yet
+        if not fits(name, 150):
+            continue
+        try:
+            t = _time_calls(outer(lmp), (params,), 1, warmup=1, reps=2)
+            extra[name] = round(t, 3)
+        except Exception as e:   # noqa: BLE001 - report, don't die
+            print(f"{name} failed: {e}", file=sys.stderr)
+            extra[name] = None
+
+    _emit()
 
 
 if __name__ == "__main__":

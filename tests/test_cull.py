@@ -293,11 +293,21 @@ def test_split_key_branch_with_cull(rng, monkeypatch):
     hardware at full scale). The branch itself is shape-independent, so
     pin it at small shapes by patching the module-level key budget down
     until the split path triggers: patched renders (cull on AND off) must
-    match the unpatched single-key renders bitwise."""
+    match the unpatched single-key renders bitwise.
+
+    rasterize_tiled is @jax.jit with static (shape, config): the patched
+    renders reuse identical shapes/config, so without clearing the trace
+    cache they'd hit the unpatched executables and never read the patched
+    budget (ADVICE r4 high) — clear before the split renders (and again in
+    teardown so later same-shape tests don't silently reuse split-key
+    executables), and spy on duplicate_sort_ranges so the test fails if it
+    ever stops re-tracing under the patched budget."""
     from gslm_tpu.ops import rasterize_tiled as rt
 
-    # the real m1 config does take the branch (static arithmetic)
-    assert ((1080 // 16 + 1) * (1920 // 16 + 1) + 1) \
+    # the real m1 config does take the branch (static arithmetic, tile
+    # counts via the rasterizer's own ceil-div)
+    m1_tiles = rt._cdiv(1080, 16) * rt._cdiv(1920, 16)
+    assert (m1_tiles + 1) \
         << max((1 << 20) - 1, 1).bit_length() > rt._KEY_BUDGET
 
     params, aux, cam = _scene(rng, n=1024)
@@ -306,14 +316,31 @@ def test_split_key_branch_with_cull(rng, monkeypatch):
     ref_on = render(params, cam, BG, config=ccfg, alive=aux.alive)
     assert int(ref_on.n_duplicates) < int(ref_off.n_duplicates)
 
-    ntiles = -(-cam.width // 16) * -(-cam.height // 16)
+    ntiles = rt._cdiv(cam.width, 16) * rt._cdiv(cam.height, 16)
     budget = (ntiles + 1) << (max(1023, 1).bit_length() - 2)
     assert (ntiles + 1) << max(1023, 1).bit_length() > budget
-    monkeypatch.setattr(rt, "_KEY_BUDGET", budget)
-    split_off = render(params, cam, BG, config=CFG, alive=aux.alive)
-    split_on = render(params, cam, BG, config=ccfg, alive=aux.alive)
-    np.testing.assert_array_equal(np.asarray(split_off.render),
-                                  np.asarray(ref_off.render))
-    np.testing.assert_array_equal(np.asarray(split_on.render),
-                                  np.asarray(ref_on.render))
-    assert int(split_on.overflow) == 0
+    traces = []
+    orig_dsr = rt.duplicate_sort_ranges
+
+    def spy_dsr(*a, **k):
+        traces.append(1)
+        return orig_dsr(*a, **k)
+
+    try:
+        monkeypatch.setattr(rt, "_KEY_BUDGET", budget)
+        monkeypatch.setattr(rt, "duplicate_sort_ranges", spy_dsr)
+        jax.clear_caches()   # drop the unpatched single-key executables
+        split_off = render(params, cam, BG, config=CFG, alive=aux.alive)
+        split_on = render(params, cam, BG, config=ccfg, alive=aux.alive)
+        # the renders re-traced under the patched budget (the branch at
+        # rasterize_tiled.py:402 is trace-time Python: re-trace + the
+        # budget assert above == the split path compiled and ran)
+        assert len(traces) >= 2, "renders hit the jit cache; split-key " \
+            "path never traced"
+        np.testing.assert_array_equal(np.asarray(split_off.render),
+                                      np.asarray(ref_off.render))
+        np.testing.assert_array_equal(np.asarray(split_on.render),
+                                      np.asarray(ref_on.render))
+        assert int(split_on.overflow) == 0
+    finally:
+        jax.clear_caches()   # no split-key executables leak to later tests
