@@ -93,8 +93,11 @@ class LMParams:
     val_view_stride: int = 19
     check_divergence: bool = True
     ls_subset_views: int = 0           # staged line search: rank the
-    #                                    alphas on the FIRST k val views
-    #                                    only, then score just the winner
+    #                                    alphas on a stride-sampled subset
+    #                                    of ~k val views (spread over the
+    #                                    camera ring, mirroring the
+    #                                    reference's stride-19 selection),
+    #                                    then score just the winner
     #                                    on the full set. 0 = reference-
     #                                    faithful (every alpha on every
     #                                    val view, train_jvp.py:264-280).

@@ -190,6 +190,17 @@ def _gather_records_bwd(res, dfeat):
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
+# Above this many records the sortseg reduction switches from carrying the
+# 10 cotangent columns as sort payloads to sorting a (gid, iota)
+# permutation and gathering the rows through it: at L=10.5M (the
+# million-Gaussian config) the 11-column sort both explodes compile-helper
+# memory (observed tpu_compile_helper SIGKILL) and moves 44 B/entry
+# through every bitonic pass, while the permutation gather is one
+# row-latency-bound pass. At bench scale (1.3M) the payload sort is
+# faster (16 ms vs sort+gather ~20 ms), so the split is size-dispatched.
+_SEG_PAYLOAD_SORT_MAX = 4 << 20
+
+
 def _segment_reduce_sorted(d, gid, offs):
     """Sum rows of ``d`` (L2, 10) into per-Gaussian segments.
 
@@ -198,20 +209,28 @@ def _segment_reduce_sorted(d, gid, offs):
     the exclusive prefix of per-Gaussian live counts, so in gid-sorted
     order Gaussian g owns rows [offs[g], offs[g+1]).
 
-    Replaces the XLA scatter-add (row-serial, ~18-19 ns/row on v5e) with a
-    payload sort + SEGMENTED associative scan: the combine resets at
-    segment starts, so a segment total only ever adds values from inside
-    its own segment (tree order) — error ~eps*log(seg_len)*|segment
-    content|, the same class as the scatter-add's sequential sum. The r3
-    variant computed segment sums as differences of a global two-level
-    prefix, whose error scales with the BLOCK content (measured 3.6e-3
-    worst-case vs the scatter's 8e-4, scripts/bench_scatter.py) and
-    failed the 1e-4 on-hardware gradient parity gate (BENCH_r03)."""
+    Replaces the XLA scatter-add (row-serial, ~18-19 ns/row on v5e — ~1 s
+    at the million-Gaussian L=10.5M) with a sort + SEGMENTED associative
+    scan: the combine resets at segment starts, so a segment total only
+    ever adds values from inside its own segment (tree order) — error
+    ~eps*log(seg_len)*|segment content|, the same class as the
+    scatter-add's sequential sum. The r3 variant computed segment sums as
+    differences of a global two-level prefix, whose error scales with the
+    BLOCK content (measured 3.6e-3 worst-case vs the scatter's 8e-4,
+    scripts/bench_scatter.py) and failed the 1e-4 on-hardware gradient
+    parity gate (BENCH_r03). Row order within a segment is arbitrary
+    (non-stable sort) — segment sums are permutation-invariant up to the
+    same f32 reassociation class either way."""
     L2, W = d.shape
-    op = jax.lax.sort((gid,) + tuple(d[:, i] for i in range(W)),
-                      num_keys=1, is_stable=False)
-    sg = op[0]
-    ds = jnp.stack(op[1:], axis=1)
+    if L2 <= _SEG_PAYLOAD_SORT_MAX:
+        op = jax.lax.sort((gid,) + tuple(d[:, i] for i in range(W)),
+                          num_keys=1, is_stable=False)
+        sg = op[0]
+        ds = jnp.stack(op[1:], axis=1)
+    else:
+        iota = jnp.arange(L2, dtype=jnp.int32)
+        sg, perm = jax.lax.sort((gid, iota), num_keys=1, is_stable=False)
+        ds = d[perm]
     flags = jnp.concatenate(
         [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
 

@@ -95,15 +95,19 @@ class RasterConfig:
     #                                 shard may send to ONE band owner);
     #                                 0 → all_gather every shard's splats
     #                                 (parallel/model_raster.py)
-    bwd_reduce: str = "scatter"     # Pallas backward (L,10)->(P,10)
-    #                                 cotangent reduction: "scatter" = XLA
-    #                                 scatter-add (row-serial, ~25 ms at
-    #                                 L=1.3M on v5e, ~8e-4 worst-case err),
-    #                                 "sortseg" = sort-by-gaussian +
-    #                                 segmented-scan segment-sum (faster;
-    #                                 must pass the 1e-4 on-hardware grad
-    #                                 parity gate before being defaulted —
-    #                                 the r3 cumsum-diff variant failed it)
+    bwd_reduce: str = "sortseg"     # Pallas backward (L,10)->(P,10)
+    #                                 cotangent reduction: "sortseg"
+    #                                 (default since r5) = sort-by-gaussian
+    #                                 + segmented-scan segment-sum — exact
+    #                                 tree-order sums, ~16 ms at L=1.3M on
+    #                                 v5e and parity-green on the full r4
+    #                                 hardware matrix (grads ≤1.5e-6 rel,
+    #                                 BENCH_r04; the r3 cumsum-diff variant
+    #                                 that failed the gate is gone);
+    #                                 "scatter" = XLA scatter-add
+    #                                 (row-serial, ~25 ms at L=1.3M and
+    #                                 ~1 s at L=10.5M, ~8e-4 worst-case
+    #                                 err) kept as the fallback/reference
     chunk_rows: int = 0             # Pallas VMEM rows per DMA chunk
     #                                 (0 → GSLM_RASTER_K/pack, i.e. a
     #                                 fixed record count per chunk). At
@@ -409,13 +413,21 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
         rank = sorted_l[0] & ((1 << B) - 1)
         ccols_l = sorted_l[1:]
     else:
-        # split rank across key high bits + payload (rare: huge P*tiles)
+        # split rank across key high bits + payload (the m1 regime:
+        # 1080p's 8160 tiles x P=2^20 needs 33 key bits). ONE stable key
+        # suffices: entries are laid out by the depth-ordered cumsum, so
+        # within any equal (tile, rank-high) key the original entry order
+        # already ascends in rank — stability supplies the rank-low
+        # tie-break and rank_e rides as a pure payload. (Measured at
+        # L=12.6M on v5e: same time as num_keys=2 — XLA's stable lowering
+        # appends an iota tiebreaker either way — kept for the simpler
+        # comparator and because it documents the real invariant.)
         hi_bits = _KEY_BUDGET.bit_length() - 1 - (ntiles + 1).bit_length()
         key_shift = hi_bits
         key = jnp.where(entry_live,
                         (tile << hi_bits) | (rank_e >> (B - hi_bits)),
                         jnp.int32(ntiles << hi_bits))
-        sorted_l = jax.lax.sort((key, rank_e, *payloads), num_keys=2,
+        sorted_l = jax.lax.sort((key, rank_e, *payloads), num_keys=1,
                                 is_stable=True)
         rank = sorted_l[1]
         ccols_l = sorted_l[2:]

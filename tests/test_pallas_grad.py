@@ -92,15 +92,23 @@ def test_pallas_adjoint_consistency(setup):
     assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0), (lhs, rhs)
 
 
-def test_segment_reduce_sorted_exact():
+@pytest.mark.parametrize("payload_sort_max", [1 << 30, 0])
+def test_segment_reduce_sorted_exact(payload_sort_max, monkeypatch):
     """sortseg's segment sum must stay in the scatter-add's error class:
     r3's cumsum-difference variant drifted to 3.6e-3 worst-case (error
     scaled with BLOCK content, not segment content) and failed the 1e-4
     on-hardware grad parity gate (BENCH_r03). The segmented-scan variant
     only ever adds within a segment — pin ~eps*|segment| accuracy vs
-    float64, including sentinel (gid=P) dead rows and empty segments."""
+    float64, including sentinel (gid=P) dead rows and empty segments.
+
+    Parametrized over both formulations: the payload sort (small L) and
+    the permutation-sort + row gather that large L dispatches to (the
+    11-column sort OOMed the compile helper at the million-Gaussian
+    L=10.5M; threshold _SEG_PAYLOAD_SORT_MAX)."""
     import jax.numpy as jnp
-    from gslm_tpu.ops.rasterize_pallas import _segment_reduce_sorted
+    from gslm_tpu.ops import rasterize_pallas as rp
+    monkeypatch.setattr(rp, "_SEG_PAYLOAD_SORT_MAX",
+                        payload_sort_max or 0)
     rng = np.random.default_rng(0)
     P, L = 300, 20000
     gid = rng.integers(0, P + 1, L).astype(np.int32)   # P = sentinel
@@ -109,7 +117,7 @@ def test_segment_reduce_sorted_exact():
     counts = np.bincount(gid, minlength=P + 1)[:P]
     offs = np.zeros(P + 1, np.int32)
     offs[1:] = np.cumsum(counts)
-    out = np.asarray(_segment_reduce_sorted(
+    out = np.asarray(rp._segment_reduce_sorted(
         jnp.asarray(d), jnp.asarray(gid), jnp.asarray(offs)))
     gt = np.zeros((P, 10))
     for g in range(P):
@@ -117,6 +125,35 @@ def test_segment_reduce_sorted_exact():
     seg_content = np.abs(d).astype(np.float64).sum() / P
     assert np.abs(out - gt).max() < 1e-5 * seg_content
     assert np.all(out[7] == 0.0)
+
+
+def test_pallas_sortseg_permgather_grad_matches_scatter(setup, monkeypatch):
+    """The large-L permutation-gather sortseg formulation must reproduce
+    the scatter-add gradients end-to-end through the kernel backward
+    (forced here by dropping the dispatch threshold to 0)."""
+    import jax
+    from gslm_tpu.ops import rasterize_pallas as rp
+    monkeypatch.setattr(rp, "_SEG_PAYLOAD_SORT_MAX", 0)
+    jax.clear_caches()   # same shapes/config as other tests: force retrace
+    params, cam, gt = setup
+    try:
+        def loss(p, reduce):
+            import jax.numpy as jnp
+            out = render(p, cam, jnp.array([0.3, 0.2, 0.1]),
+                         config=CFG.replace(bwd_reduce=reduce),
+                         impl="pallas")
+            return (jnp.mean(jnp.abs(out.render - gt))
+                    + 0.1 * jnp.mean(out.invdepth))
+
+        ga = jax.grad(lambda p: loss(p, "scatter"))(params)
+        gb = jax.grad(lambda p: loss(p, "sortseg"))(params)
+        for k in ("xyz", "scaling", "rotation", "opacity", "features_dc",
+                  "features_rest"):
+            a, b = np.asarray(getattr(ga, k)), np.asarray(getattr(gb, k))
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b, a, atol=1e-5 * scale, err_msg=k)
+    finally:
+        jax.clear_caches()   # don't leak threshold-0 executables
 
 
 def test_pallas_sortseg_grad_matches_scatter(setup):
