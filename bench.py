@@ -289,10 +289,15 @@ def main():
             p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
                                       capacity=P1, num_images=1, spread=1.5,
                                       scale_range=(-5.5, -3.5))
-            # ~8x the 131k record stream; pack=8 shrinks the HBM stream 8x
-            cfg1 = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,
+            # ~8x the 131k record stream; pack=8 shrinks the HBM stream 8x.
+            # Capacities sized from the on-chip probe (r5): AABB total
+            # 10,074,118 / live 8,277,812 for this fixed-seed scene — a
+            # ~5% margin; the sort pays dup_capacity and the gather pays
+            # live_capacity, so r4's 12.58M/10.49M ceilings were ~17%
+            # of pure overhead in both row-bound stages. overflow stays 0.
+            cfg1 = RasterConfig(dup_capacity=10_579_968, max_per_tile=8192,
                                 tile_chunk=64, impl="auto", pack=8,
-                                live_capacity=10 << 20)
+                                live_capacity=8_650_752)
 
             @jax.jit
             def fwd1(p, cam, bg):
@@ -334,14 +339,19 @@ def main():
         live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
     variants = []
     if args.lm_variants != "none" and not args.quick:
-        variants = [("lm_outer_step_s", cfg_mod.LMParams()),
+        # val_pack=1: line-search/val renders (fwd-only, one chunk live)
+        # take the fast pack=1 kernel while the window ops keep pack=8's
+        # 8x smaller stream (LMParams.val_pack)
+        vp = 1 if on_tpu else 0
+        variants = [("lm_outer_step_s", cfg_mod.LMParams(val_pack=vp)),
                     ("lm_outer_staged_s",
-                     cfg_mod.LMParams(ls_subset_views=10))]
+                     cfg_mod.LMParams(ls_subset_views=10, val_pack=vp))]
         if args.lm_variants == "all":
             variants += [
-                ("lm_outer_ls1_s", cfg_mod.LMParams(line_search_steps=0)),
+                ("lm_outer_ls1_s",
+                 cfg_mod.LMParams(line_search_steps=0, val_pack=vp)),
                 ("lm_outer_nodiv_s",
-                 cfg_mod.LMParams(check_divergence=False))]
+                 cfg_mod.LMParams(check_divergence=False, val_pack=vp))]
 
     def outer(lmp):
         def f(p):

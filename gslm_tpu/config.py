@@ -92,6 +92,20 @@ class LMParams:
     num_val_views: int = 50            # train_jvp.py:214-216
     val_view_stride: int = 19
     check_divergence: bool = True
+    val_pack: int = 0                  # record packing for the val-view /
+    #                                    line-search renders only (0 =
+    #                                    inherit the window RasterConfig).
+    #                                    These renders are forward-only
+    #                                    and one micro-batch chunk is live
+    #                                    at a time, so pack=1's faster
+    #                                    per-record kernel (~1.8x on v5e)
+    #                                    usually wins there even when the
+    #                                    window ops need pack=8's 8x
+    #                                    smaller HBM stream. Layout-only:
+    #                                    same math, f32-reassociation
+    #                                    differences at most (the pack
+    #                                    variants are parity-gated on
+    #                                    hardware, utils/paritycheck.py).
     ls_subset_views: int = 0           # staged line search: rank the
     #                                    alphas on a stride-sampled subset
     #                                    of ~k val views (spread over the

@@ -227,19 +227,43 @@ def _segment_reduce_sorted(d, gid, offs):
                           num_keys=1, is_stable=False)
         sg = op[0]
         ds = jnp.stack(op[1:], axis=1)
+        flags = jnp.concatenate(
+            [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
+
+        def comb(a, b):      # segmented-sum operator (associative)
+            af, av = a
+            bf, bv = b
+            return af | bf, bv + jnp.where(bf[..., None], 0.0, av)
+
+        _, svals = jax.lax.associative_scan(comb, (flags, ds), axis=0)
     else:
+        # large-L formulation (the million-Gaussian regime). Two changes,
+        # both compile-memory driven — the small-L lowering OOM-killed
+        # the TPU compile helper at L=10.5M:
+        #   1. sort only a (gid, iota) permutation and gather the rows
+        #      through it instead of carrying W f32 sort payloads
+        #      (44 B/entry through every bitonic pass);
+        #   2. segmented scan as a flat Hillis-Steele shift loop instead
+        #      of jax.lax.associative_scan, whose recursive odd/even
+        #      lowering nests ~log2(L) levels of interleaves over the
+        #      (flags, W-column) tuple.
+        # Same math: the combine still resets at segment starts, so sums
+        # stay within segments (identical error class).
         iota = jnp.arange(L2, dtype=jnp.int32)
         sg, perm = jax.lax.sort((gid, iota), num_keys=1, is_stable=False)
         ds = d[perm]
-    flags = jnp.concatenate(
-        [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
-
-    def comb(a, b):          # segmented-sum operator (associative)
-        af, av = a
-        bf, bv = b
-        return af | bf, bv + jnp.where(bf[..., None], 0.0, av)
-
-    _, svals = jax.lax.associative_scan(comb, (flags, ds), axis=0)
+        flags = jnp.concatenate(
+            [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
+        svals, f = ds, flags
+        sh = 1
+        while sh < L2:
+            ps = jnp.concatenate(
+                [jnp.zeros((sh, W), svals.dtype), svals[:-sh]], axis=0)
+            pf = jnp.concatenate(
+                [jnp.ones((sh,), bool), f[:-sh]], axis=0)
+            svals = svals + jnp.where(f[:, None], 0.0, ps)
+            f = f | pf
+            sh *= 2
     last = jnp.clip(offs[1:] - 1, 0, L2 - 1)      # last row of segment g
     tot = svals[last]
     return jnp.where((offs[1:] > offs[:-1])[:, None], tot, 0.0)

@@ -110,7 +110,11 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
         lambda x: x.reshape(nval // val_mb, val_mb, *x.shape[1:]), val)
     vweights = (jnp.ones((nval,), jnp.float32) if val_valid is None
                 else val_valid).reshape(nval // val_mb, val_mb)
-    val_res = res_of(rcfg)
+    # val/line-search renders are forward-only with one chunk live at a
+    # time: lm.val_pack lets them use a faster record packing than the
+    # window's footprint-driven choice (config.py LMParams.val_pack)
+    val_res = res_of(rcfg if lm.val_pack == 0
+                     else rcfg.replace(pack=lm.val_pack))
     nch_total = nval // val_mb
 
     def val_loss_chunks(p, chunk_idx=None):

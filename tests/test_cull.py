@@ -142,6 +142,7 @@ def test_cull_matches_uncull_grads(rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cull_pallas_interpret_matches_tiled(rng):
     params, aux, cam = _small_scene(rng)
     gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)),
@@ -181,6 +182,7 @@ def test_cull_batched_views(rng):
                                np.asarray(off.render), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_depth_grad_flag_trims_only_depth(rng):
     """depth_grad=False must leave image gradients identical and zero the
     invdepth contribution (pallas backward trim)."""

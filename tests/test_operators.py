@@ -110,6 +110,7 @@ def test_gauss_newton_step_reduces_loss(rng):
     assert best < loss0 * 0.999, (best, loss0)
 
 
+@pytest.mark.slow
 def test_chunked_residual_matches_unchunked(rng):
     """Micro-batched residuals/matvecs ≡ whole-window (reference
     solver_functions.py:38-49 batch_size chunking, VERDICT r1 item 2)."""
@@ -187,6 +188,7 @@ def test_adjoint_consistency_with_ssim_residuals(rng):
     assert float(ops.loss_scalar) > 0.0
 
 
+@pytest.mark.slow
 def test_chunked_backward_memory_bound(rng):
     """Reference tests/test_render_backward_mem.py analog: micro-batching
     the residual window must not let the backward's working set grow with

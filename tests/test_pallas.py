@@ -30,6 +30,7 @@ def _pair(params, cam, cfg, jnp, bg=None):
     return np.asarray(a), np.asarray(b)
 
 
+@pytest.mark.slow
 def test_pallas_matches_tiled_random(jnp):
     rng = np.random.default_rng(0)
     params, aux = random_gaussians(rng, n=128, capacity=128, num_images=1)

@@ -127,6 +127,7 @@ def test_segment_reduce_sorted_exact(payload_sort_max, monkeypatch):
     assert np.all(out[7] == 0.0)
 
 
+@pytest.mark.slow
 def test_pallas_sortseg_permgather_grad_matches_scatter(setup, monkeypatch):
     """The large-L permutation-gather sortseg formulation must reproduce
     the scatter-add gradients end-to-end through the kernel backward

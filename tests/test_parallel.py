@@ -38,6 +38,7 @@ def test_mesh_shapes():
     assert mesh.shape["data"] == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single(tiny):
     params, aux, cams = tiny
     opt = cfg_mod.OptimizationParams()
@@ -68,6 +69,7 @@ def test_sharded_train_step_matches_single(tiny):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_lm_step_matches_single(tiny):
     params, aux, cams = tiny
     bg = jnp.zeros(3)
@@ -91,6 +93,7 @@ def test_sharded_lm_step_matches_single(tiny):
                                np.asarray(ref_p.scaling), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -140,6 +143,7 @@ def test_dp_shard_map_train_step_matches_single(tiny):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mp_shard_map_train_step_matches_single(tiny):
     """Model-parallel step (Gaussians sharded, tile-row bands) vs single.
 
@@ -207,6 +211,7 @@ def test_mp_render_views_matches_batch_render(tiny):
                                np.asarray(ref.invdepth), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_shard_map_lm_step_matches_single(tiny):
     params, aux, cams = tiny
     bg = jnp.zeros(3)
@@ -349,6 +354,7 @@ def test_mp_rebalance_moves_rows_and_preserves_render(tiny):
         float(jnp.sum(jnp.abs(opt_state.mu.xyz))), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_lm_step_with_padded_window_matches_single(tiny):
     """Regression (self-review r2): mesh LM paths must honor the
     zero-weight padding views lm_phase adds for micro-batch/data-axis
@@ -421,6 +427,7 @@ def test_mp_route_train_step_matches_single(tiny):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mp_route_lm_step_matches_single(tiny):
     params, aux, cams = tiny
     bg = jnp.zeros(3)
@@ -529,6 +536,7 @@ def test_mp_route_pallas_matches_tiled(tiny):
                                np.asarray(ref.invdepth), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mp_route_pallas_grads_match(tiny):
     """Custom-VJP Pallas backward + all_to_all transpose + compaction-gather
     scatter inside shard_map: one routed MP Adam step on the pallas impl

@@ -119,6 +119,7 @@ def test_batch_render_consistent_with_single(rng):
                                       np.asarray(out_1.radii))
 
 
+@pytest.mark.slow
 def test_overflow_recovers_exactly_at_doubled_capacity(rng):
     """Forced duplicate-buffer overflow: the flag must fire, and re-running
     at doubled capacity must reproduce the ample-capacity render exactly —

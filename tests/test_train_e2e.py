@@ -33,6 +33,7 @@ def _args(src, model, **over):
     return Namespace(**base)
 
 
+@pytest.mark.slow
 def test_adam_training_improves_psnr(tmp_path):
     from gslm_tpu.train import evaluate, make_raster_config, training
     from gslm_tpu.models.cameras import batch_from_metas
@@ -146,6 +147,7 @@ def test_densify_capacity_overflow(rng):
     assert int(info["n_alive"]) <= 8
 
 
+@pytest.mark.slow
 def test_mp_mode_training_runs(tmp_path):
     """CLI-level model-parallel mode: mesh (2 data, 2 model), Gaussians
     sharded, shard-local densify + cross-shard rebalance, PSNR climbs."""
@@ -169,6 +171,7 @@ def test_mp_mode_training_runs(tmp_path):
     assert np.isfinite(final["psnr"]) and final["psnr"] > 10.0, final
 
 
+@pytest.mark.slow
 def test_exposure_training_learns_exposure(rng):
     """use_trained_exp: per-image exposure affines receive gradients and
     move toward compensating a synthetic exposure error (reference

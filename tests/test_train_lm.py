@@ -41,6 +41,7 @@ def test_lm_phase_reduces_loss(tmp_path):
     assert float(info["step_norms"]["xyz"]) > 0
 
 
+@pytest.mark.slow
 def test_lm_mask_xyz_freezes_positions(tmp_path):
     import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def test_lm_mask_xyz_freezes_positions(tmp_path):
     assert float(info["step_norms"]["features_dc"]) > 0.0
 
 
+@pytest.mark.slow
 def test_two_phase_cli_e2e(tmp_path):
     """Full CLI path: Adam phase → LM phase via the hook."""
     from gslm_tpu.train import training
@@ -96,6 +98,7 @@ def test_two_phase_cli_e2e(tmp_path):
     assert lm_iters and lm_iters[0] == 21 and lm_iters[-1] == 30
 
 
+@pytest.mark.slow
 def test_lm_overflow_retry_grows_capacity(tmp_path):
     """Forcing an undersized record buffer mid-LM-phase must trigger the
     probe-and-grow retry (VERDICT r2 weak #5): the returned rcfg has grown
@@ -145,6 +148,7 @@ def test_lm_overflow_retry_grows_capacity(tmp_path):
     assert same == roomy
 
 
+@pytest.mark.slow
 def test_lm_probe_respects_micro_batch(tmp_path):
     """Capacities bound ONE render, and micro-batching renders the window
     in chunks — a capacity that fits every 2-view chunk but not the 4-view
@@ -181,6 +185,7 @@ def test_lm_probe_respects_micro_batch(tmp_path):
     assert same == mid, (same.dup_capacity, mid.dup_capacity)
 
 
+@pytest.mark.slow
 def test_lm_staged_line_search(tmp_path):
     """ls_subset_views > 0: alphas are ranked on a val subset and only the
     winner is scored on the full set. With the subset covering ALL val
