@@ -64,6 +64,7 @@ import os as _os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -145,11 +146,21 @@ def _sub(ps: PackSpec, f, k, j, w=1):
     return f[:, ps.off[k] + j:ps.off[k] + j + w]
 
 
-def _sub_geometry(ps: PackSpec, f, k, px, py, rank0, count_rem):
+def _sub_geometry(ps: PackSpec, f, k, px, py, rank0, count_rem,
+                  rect=None):
     """Alpha terms for packed sub-record k of a chunk.
 
     f: (rpc, 128) packed rows. rank0: in-segment rank of the chunk's first
-    record. Returns dict of (rpc, 256) / (rpc, 1) arrays."""
+    record. Returns dict of (rpc, 256) / (rpc, 1) arrays.
+
+    ``rect``: (txc, tyc) scalar pixel origin of the walking tile (y
+    view-local) — bucket mode only. Bucket segments hold records for
+    bucket² tiles; a record's 3σ AABB rect is a hard truncation in the
+    tile pipeline (the CUDA reference's duplicateWithKeys likewise never
+    emits outside the rect), and alpha can exceed 1/255 just outside it,
+    so bucket walks must gate contributions to the record's own rect
+    (stream fields 10-13) to reproduce bucket=1 semantics (up to
+    chunk-boundary f32 rounding)."""
     dx = _sub(ps, f, k, 0) - px
     dy = _sub(ps, f, k, 1) - py
     power = (-0.5 * (_sub(ps, f, k, 2) * dx * dx
@@ -157,6 +168,12 @@ def _sub_geometry(ps: PackSpec, f, k, px, py, rank0, count_rem):
              - _sub(ps, f, k, 3) * dx * dy)
     r_local = jax.lax.broadcasted_iota(jnp.int32, (ps.rpc, 1), 0)
     in_seg = (r_local * ps.pack + k) < (count_rem - rank0)
+    if rect is not None:
+        txc, tyc = rect
+        in_seg = in_seg & ((txc >= _sub(ps, f, k, 10))
+                           & (txc < _sub(ps, f, k, 11))
+                           & (tyc >= _sub(ps, f, k, 12))
+                           & (tyc < _sub(ps, f, k, 13)))
     gate = in_seg & (power <= 0.0)
     expp = jnp.where(gate, jnp.exp(power), 0.0)
     a_raw = _sub(ps, f, k, 5) * expp
@@ -308,13 +325,13 @@ def _tile_px(starts_ref, t, lin):
     tyc = (((t // ntx) % view_rows) * TILE).astype(jnp.float32)
     px = txc + (lin % TILE).astype(jnp.float32)
     py = tyc + (lin // TILE).astype(jnp.float32)
-    return px, py
+    return px, py, txc, tyc
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
-def _make_tile_kernel(ps: PackSpec):
+def _make_tile_kernel(ps: PackSpec, rect_gate: bool = False):
     def _tile_kernel(starts_ref, counts_ref, feat_hbm, out_ref, scratch,
                      sem):
         pid = pl.program_id(0)
@@ -325,7 +342,7 @@ def _make_tile_kernel(ps: PackSpec):
             start = starts_ref[t]     # padded record offset (pack-aligned)
             count = counts_ref[t]     # true record count
             nchunks = pl.cdiv(count, ps.krec)
-            px, py = _tile_px(starts_ref, t, lin)
+            px, py, txc, tyc = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
             def dma(slot, chunk):
@@ -348,7 +365,10 @@ def _make_tile_kernel(ps: PackSpec):
                 dma(slot, chunk).wait()
                 f = scratch[slot]                          # (rpc, 128)
 
-                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec, count)
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec,
+                                      count,
+                                      rect=(txc, tyc) if rect_gate
+                                      else None)
                         for k in range(ps.pack)]
                 ls = [jnp.log1p(-s["a"]) for s in subs]
                 p_row = ls[0]
@@ -419,7 +439,7 @@ def _make_tile_kernel(ps: PackSpec):
 
 def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
               interpret: bool, pack: int = DEFAULT_PACK,
-              chunk_rows: int = 0):
+              chunk_rows: int = 0, rect_gate: bool = False):
     """Invoke the forward compositor; returns (n_programs*GROUP, 8, 256)."""
     ps = get_spec(pack, chunk_rows)
     nt_pad = n_programs * GROUP
@@ -436,7 +456,7 @@ def _fwd_call(feat, starts_plus, counts_pad, *, n_programs: int,
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
-        _make_tile_kernel(ps),
+        _make_tile_kernel(ps, rect_gate),
         out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -463,7 +483,7 @@ def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
             start = starts_ref[t]
             count = counts_ref[t]
             nchunks = pl.cdiv(count, ps.krec)
-            px, py = _tile_px(starts_ref, t, lin)
+            px, py, txc, tyc = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
             g_r = gtiles_ref[g, 0:1, :]
@@ -644,12 +664,16 @@ def _make_tile_bwd_kernel(ps: PackSpec, depth_grad: bool = True):
 
 def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
               n_programs: int, interpret: bool, pack: int = DEFAULT_PACK,
-              depth_grad: bool = True, chunk_rows: int = 0):
+              depth_grad: bool = True, chunk_rows: int = 0,
+              rect_gate: bool = False):
     """Invoke the backward compositor; returns dfeat with feat's shape.
 
     ``tiles`` is the saved forward output — its exit-state rows replace
     the old total-transmittance re-walk (pass 1), halving backward DMA
-    and alpha recomputation."""
+    and alpha recomputation. ``rect_gate`` is accepted for kw-compat with
+    _fwd_call but unused: bucket segments never reach this per-tile
+    backward (they go through _bucket_bwd_call)."""
+    assert not rect_gate, "bucket segments use _bucket_bwd_call"
     ps = get_spec(pack, chunk_rows)
     nrec = feat.shape[0] * ps.pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -683,18 +707,362 @@ def _bwd_call(feat, starts_plus, counts_pad, gtiles, tiles, *,
     )(starts_plus, counts_pad, feat, gtiles, tiles)
 
 
+# ---------------------------------------------------------------------------
+# bucket-mode backward: one program per GROUP_B buckets, accumulating the
+# bucket² member tiles' per-record cotangents before each chunk write
+# ---------------------------------------------------------------------------
+def _make_bucket_bwd_kernel(ps: PackSpec, B2: int, group_b: int,
+                            depth_grad: bool = True):
+    def _kernel(bstarts_ref, bcounts_ref, morigin_ref, mvalid_ref,
+                feat_hbm, gtiles_ref, tiles_ref, dfeat_hbm, rscratch,
+                gscratch, rsem, wsem):
+        pid = pl.program_id(0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+
+        def one_bucket(g, _):
+            b = pid * group_b + g
+            start = bstarts_ref[b]
+            count = bcounts_ref[b]
+            nchunks = pl.cdiv(count, ps.krec)
+            row0 = start // ps.pack
+
+            # per-member-tile saved state (slot-local rows of the
+            # bucket-major reordered cotangent/saved-output blocks)
+            pxs, pys, g_rs, g_gs, g_bs, g_is, g_Ts = [], [], [], [], [], [], []
+            txcs, tycs, lsums, neffs = [], [], [], []
+            for m in range(B2):
+                slot = g * B2 + m
+                og = morigin_ref[b * B2 + m]
+                valid = mvalid_ref[b * B2 + m]
+                txc = ((og & 0xFFFF) * TILE).astype(jnp.float32)
+                tyc = ((og >> 16) * TILE).astype(jnp.float32)
+                txcs.append(txc)
+                tycs.append(tyc)
+                pxs.append(txc + (lin % TILE).astype(jnp.float32))
+                pys.append(tyc + (lin // TILE).astype(jnp.float32))
+                g_rs.append(gtiles_ref[slot, 0:1, :])
+                g_gs.append(gtiles_ref[slot, 1:2, :])
+                g_bs.append(gtiles_ref[slot, 2:3, :])
+                g_is.append(gtiles_ref[slot, 3:4, :])
+                g_Ts.append(gtiles_ref[slot, 4:5, :])
+                lsums.append(tiles_ref[slot, 5:6, :])
+                neffs.append(jnp.max(tiles_ref[slot, 6:7, :])
+                             .astype(jnp.int32) * valid)
+            n_eff = neffs[0]
+            for m in range(1, B2):
+                n_eff = jnp.maximum(n_eff, neffs[m])
+
+            def rdma(slot_, chunk):
+                return pltpu.make_async_copy(
+                    feat_hbm.at[pl.ds(row0 + chunk * ps.rpc, ps.rpc), :],
+                    rscratch.at[slot_], rsem.at[slot_])
+
+            def wdma(slot_, chunk):
+                return pltpu.make_async_copy(
+                    gscratch.at[slot_],
+                    dfeat_hbm.at[pl.ds(row0 + chunk * ps.rpc, ps.rpc), :],
+                    wsem.at[slot_])
+
+            @pl.when(n_eff < nchunks)
+            def _():
+                gscratch[0] = jnp.zeros((ps.rpc, ps.row), jnp.float32)
+
+                def zero_fill(c, _):
+                    cp = pltpu.make_async_copy(
+                        gscratch.at[0],
+                        dfeat_hbm.at[pl.ds(row0 + c * ps.rpc, ps.rpc), :],
+                        wsem.at[0])
+                    cp.start()
+                    cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(n_eff, nchunks, zero_fill, 0)
+
+            @pl.when(n_eff > 0)
+            def _():
+                rdma((n_eff - 1) % 2, n_eff - 1).start()
+
+            def p2_body(i, carry):
+                chunk = n_eff - 1 - i
+                slot_ = chunk % 2
+
+                @pl.when(chunk - 1 >= 0)
+                def _():
+                    rdma((chunk - 1) % 2, chunk - 1).start()
+
+                rdma(slot_, chunk).wait()
+                f = rscratch[slot_]
+
+                gbuf = None
+                new_carry = []
+                for m in range(B2):
+                    s_acc, lsum_upto = carry[2 * m], carry[2 * m + 1]
+                    active = chunk < neffs[m]
+                    px, py = pxs[m], pys[m]
+                    g_r, g_gg, g_b = g_rs[m], g_gs[m], g_bs[m]
+                    g_i, g_T = g_is[m], g_Ts[m]
+
+                    subs = [_sub_geometry(ps, f, k, px, py,
+                                          chunk * ps.krec, count,
+                                          rect=(txcs[m], tycs[m]))
+                            for k in range(ps.pack)]
+                    ls = [jnp.log1p(-s["a"]) for s in subs]
+                    p_row = ls[0]
+                    for k in range(1, ps.pack):
+                        p_row = p_row + ls[k]
+                    lsum_c = jnp.sum(p_row, axis=0, keepdims=True)
+                    lsum_prefix = jnp.minimum(lsum_upto - lsum_c, 0.0)
+                    row_pref = lsum_prefix + strict_prefix_sum(p_row)
+
+                    tb, ws, dws, qs = [], [], [], []
+                    off = jnp.zeros_like(p_row)
+                    for k in range(ps.pack):
+                        a = subs[k]["a"]
+                        t_before = jnp.exp(row_pref + off)
+                        t_after = t_before * (1.0 - a)
+                        contrib = subs[k]["contrib"]
+                        ok = contrib & (t_after >= T_EPS) \
+                            & (t_before >= T_EPS)
+                        w = jnp.where(ok, a * t_before, 0.0)
+                        dw = (_sub(ps, f, k, 6) * g_r
+                              + _sub(ps, f, k, 7) * g_gg
+                              + _sub(ps, f, k, 8) * g_b)
+                        if depth_grad:
+                            dw = dw + _sub(ps, f, k, 9) * g_i
+                        first_fail = contrib & (t_after < T_EPS) \
+                            & (t_before >= T_EPS)
+                        q = jnp.where(ok, dw * w, 0.0) \
+                            + jnp.where(first_fail, g_T * t_before, 0.0)
+                        tb.append(t_before)
+                        ws.append(w)
+                        dws.append(dw)
+                        qs.append(q)
+                        off = off + ls[k]
+
+                    q_row = qs[0]
+                    for k in range(1, ps.pack):
+                        q_row = q_row + qs[k]
+                    row_suf = strict_suffix_sum(q_row)
+
+                    gcols = []
+                    tail = jnp.zeros_like(q_row)
+                    for k in reversed(range(ps.pack)):
+                        s_i = s_acc + row_suf + tail
+                        a = subs[k]["a"]
+                        contrib = subs[k]["contrib"]
+                        pre_freeze = contrib & (tb[k] >= T_EPS)
+                        ok = contrib & ((tb[k] * (1.0 - a)) >= T_EPS)
+                        da = jnp.where(
+                            pre_freeze,
+                            jnp.where(ok, dws[k] * tb[k], 0.0)
+                            - s_i / (1.0 - a),
+                            0.0)
+                        dpow = da * subs[k]["a_raw"]
+                        dx, dy = subs[k]["dx"], subs[k]["dy"]
+                        f2 = _sub(ps, f, k, 2)
+                        f3 = _sub(ps, f, k, 3)
+                        f4 = _sub(ps, f, k, 4)
+                        cols = jnp.concatenate([
+                            jnp.sum(dpow * -(f2 * dx + f3 * dy), axis=1,
+                                    keepdims=True),
+                            jnp.sum(dpow * -(f4 * dy + f3 * dx), axis=1,
+                                    keepdims=True),
+                            jnp.sum(dpow * (-0.5 * dx * dx), axis=1,
+                                    keepdims=True),
+                            jnp.sum(dpow * (-dx * dy), axis=1,
+                                    keepdims=True),
+                            jnp.sum(dpow * (-0.5 * dy * dy), axis=1,
+                                    keepdims=True),
+                            jnp.sum(da * subs[k]["expp"], axis=1,
+                                    keepdims=True),
+                            jnp.sum(ws[k] * g_r, axis=1, keepdims=True),
+                            jnp.sum(ws[k] * g_gg, axis=1, keepdims=True),
+                            jnp.sum(ws[k] * g_b, axis=1, keepdims=True),
+                            (jnp.sum(ws[k] * g_i, axis=1, keepdims=True)
+                             if depth_grad else
+                             jnp.zeros((ps.rpc, 1), jnp.float32)),
+                            jnp.zeros((ps.rpc, ps.feat - 10), jnp.float32),
+                        ], axis=1)
+                        gcols.append(cols)
+                        tail = tail + qs[k]
+
+                    gbuf_m = jnp.concatenate(gcols[::-1], axis=1)
+                    gbuf_m = jnp.where(active, gbuf_m, 0.0)
+                    gbuf = gbuf_m if gbuf is None else gbuf + gbuf_m
+                    new_carry.append(jnp.where(
+                        active,
+                        s_acc + jnp.sum(q_row, axis=0, keepdims=True),
+                        s_acc))
+                    new_carry.append(jnp.where(active, lsum_prefix,
+                                               lsum_upto))
+
+                @pl.when(i >= 2)
+                def _():
+                    wdma(i % 2, chunk + 2).wait()
+                gscratch[i % 2] = gbuf
+                wdma(i % 2, chunk).start()
+                return tuple(new_carry)
+
+            carry0 = []
+            for m in range(B2):
+                t_end = jnp.exp(lsums[m])
+                carry0.append(jnp.where(t_end >= T_EPS, g_Ts[m] * t_end,
+                                        0.0))
+                carry0.append(lsums[m])
+            jax.lax.fori_loop(0, n_eff, p2_body, tuple(carry0))
+
+            @pl.when(n_eff >= 2)
+            def _():
+                wdma(n_eff % 2, 1).wait()
+
+            @pl.when(n_eff >= 1)
+            def _():
+                wdma((n_eff - 1) % 2, 0).wait()
+            return 0
+
+        jax.lax.fori_loop(0, group_b, one_bucket, 0)
+
+    return _kernel
+
+
+def _bucket_bwd_call(feat, bstarts, bcounts, gtiles, tiles, *, bucket: int,
+                     ntiles: int, ntx: int, view_rows: int, interpret: bool,
+                     pack: int, depth_grad: bool = True,
+                     chunk_rows: int = 0):
+    """Backward for bucket-binned segments (see _make_composite). Member
+    geometry is static: tile ids, view-local pixel origins and validity
+    per (bucket, slot) are numpy constants baked at trace time."""
+    ps = get_spec(pack, chunk_rows)
+    BK = bucket
+    B2 = BK * BK
+    nseg = bstarts.shape[0]
+    nty = ntiles // ntx
+    nbx = _cdiv(ntx, BK)
+    vrow_b = view_rows // BK
+    nrec = feat.shape[0] * ps.pack
+
+    byv = np.arange(nseg, dtype=np.int32) // nbx         # global bucket row
+    bx = np.arange(nseg, dtype=np.int32) % nbx
+    view = byv // vrow_b
+    by_in_view = byv % vrow_b
+    members = np.zeros((nseg, B2), np.int32)
+    mvalid = np.zeros((nseg, B2), np.int32)
+    morigin = np.zeros((nseg, B2), np.int32)
+    for dy in range(BK):
+        for dx in range(BK):
+            s = dy * BK + dx
+            ty_in_view = by_in_view * BK + dy
+            tx = bx * BK + dx
+            ok = (tx < ntx) & (view * view_rows + ty_in_view < nty)
+            txc = np.minimum(tx, ntx - 1)
+            tyg = np.minimum(view * view_rows + ty_in_view, nty - 1)
+            members[:, s] = tyg * ntx + txc
+            mvalid[:, s] = ok.astype(np.int32)
+            morigin[:, s] = (np.minimum(ty_in_view, view_rows - 1)
+                             << 16) | txc
+
+    group_b = max(1, GROUP // B2)
+    npb = _cdiv(nseg, group_b)
+    nseg_pad = npb * group_b
+
+    sel = jnp.asarray(members.reshape(-1))
+    gtiles_bm = gtiles[:ntiles][sel]
+    tiles_bm = tiles[:ntiles][sel]
+    pad = (nseg_pad - nseg) * B2
+    if pad:
+        z = jnp.zeros((pad, OUT_ROWS, PIX), jnp.float32)
+        gtiles_bm = jnp.concatenate([gtiles_bm, z])
+        tiles_bm = jnp.concatenate([tiles_bm, z])
+    zpad = jnp.zeros((nseg_pad - nseg,), jnp.int32)
+    bstarts_pad = jnp.concatenate([bstarts, zpad])
+    bcounts_pad = jnp.concatenate([bcounts, zpad])
+    zpad2 = np.zeros(((nseg_pad - nseg) * B2,), np.int32)
+    morigin_pad = jnp.asarray(np.concatenate([morigin.reshape(-1), zpad2]))
+    mvalid_pad = jnp.asarray(np.concatenate([mvalid.reshape(-1), zpad2]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(npb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((group_b * B2, OUT_ROWS, PIX),
+                         lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group_b * B2, OUT_ROWS, PIX),
+                         lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps.rpc, ps.row), jnp.float32),
+            pltpu.VMEM((2, ps.rpc, ps.row), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    return pl.pallas_call(
+        _make_bucket_bwd_kernel(ps, B2, group_b, depth_grad),
+        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # sequential ascending grid REQUIRED (chunk-write spill, see
+        # GRADIENT-WRITE INVARIANT in the module docstring)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * B2 * nrec * PIX,
+            bytes_accessed=2 * nrec * ps.feat * 4,
+            transcendentals=2 * B2 * nrec * PIX),
+    )(bstarts_pad, bcounts_pad, morigin_pad, mvalid_pad, feat, gtiles_bm,
+      tiles_bm)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_composite(n_programs: int, ntiles: int, interpret: bool,
                     mode: str, pack: int, depth_grad: bool = True,
-                    chunk_rows: int = 0):
+                    chunk_rows: int = 0, bucket: int = 1, ntx: int = 0,
+                    view_rows: int = 0):
     """Composite-tiles function with the requested differentiation rule.
 
     mode="vjp": jax.custom_vjp via the backward kernel (training / J^T u).
     mode="jvp": jax.custom_jvp via the fused tangent kernel (LM J v).
     JAX does not allow both rules on one function, so the LM operators pick
-    the variant per matvec direction (solver/operators.py)."""
+    the variant per matvec direction (solver/operators.py).
+
+    ``bucket`` > 1 changes only the VJP wiring: the forward/JVP kernels
+    are geometry-agnostic (each tile walks whatever segment its
+    starts/counts point at), but bucket segments are shared by bucket²
+    tiles, so the backward must accumulate their per-record cotangents in
+    ONE program — the per-tile backward would overwrite, not add. The
+    vjp variant then takes (feat, starts_plus, counts_pad, bstarts,
+    bcounts) with the bucket-level segment table."""
     kw = dict(n_programs=n_programs, interpret=interpret, pack=pack,
-              chunk_rows=chunk_rows)
+              chunk_rows=chunk_rows, rect_gate=bucket > 1)
+    if mode == "vjp" and bucket > 1:
+        @jax.custom_vjp
+        def comp_b(feat, starts_plus, counts_pad, bstarts, bcounts):
+            return _fwd_call(feat, starts_plus, counts_pad, **kw)
+
+        def fwd_b(feat, starts_plus, counts_pad, bstarts, bcounts):
+            out = comp_b(feat, starts_plus, counts_pad, bstarts, bcounts)
+            return out, (feat, bstarts, bcounts, out)
+
+        def bwd_b(res, gtiles):
+            feat, bstarts, bcounts, tiles = res
+            dfeat = _bucket_bwd_call(
+                feat, bstarts, bcounts, gtiles, tiles, bucket=bucket,
+                ntiles=ntiles, ntx=ntx, view_rows=view_rows,
+                interpret=interpret, pack=pack, depth_grad=depth_grad,
+                chunk_rows=chunk_rows)
+            nseg = bstarts.shape[0]
+            end_entries = bstarts[nseg - 1] + (
+                (bcounts[nseg - 1] + pack - 1) // pack) * pack
+            valid = (jnp.arange(feat.shape[0], dtype=jnp.int32)
+                     < end_entries // pack)
+            dfeat = jnp.where(valid[:, None], dfeat, 0.0)
+            return dfeat, None, None, None, None
+
+        comp_b.defvjp(fwd_b, bwd_b)
+        return comp_b
     if mode == "vjp":
         @jax.custom_vjp
         def comp(feat, starts_plus, counts_pad):
@@ -723,7 +1091,8 @@ def _make_composite(n_programs: int, ntiles: int, interpret: bool,
     if mode == "jvp":
         from gslm_tpu.ops.rasterize_pallas_jvp import make_jvp_composite
         return make_jvp_composite(n_programs, interpret, _fwd_call, pack,
-                                  chunk_rows=chunk_rows)
+                                  chunk_rows=chunk_rows,
+                                  rect_gate=bucket > 1)
     return functools.partial(_fwd_call, **kw)
 
 
@@ -750,17 +1119,51 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
         view_rows = nty
     P = splats.mean2d.shape[0]
 
+    # ---- bucket binning (config.bucket > 1): stages 1-3 run on a
+    # BK x BK-tile super-grid — the sort and the record gather (both
+    # row-latency-bound) shrink ~BK^2/dilation — and every 16x16 tile
+    # walks its parent bucket's segment. Records whose ellipse misses the
+    # tile get alpha exactly 0 (rect gate / sub-1/255), so the composite
+    # matches bucket=1 to chunk-boundary f32 rounding (exp(a+b) vs
+    # exp(a)*exp(b): a few ulp); the kernel merely reads past them, which the
+    # early exit makes cheap on deep streams (measured m1: tiles read 256
+    # of p50=1189 records). Capacities count BUCKET records in this mode.
+    BK = config.bucket
     want_seg = mode == "vjp" and config.bwd_reduce == "sortseg"
-    dsr = duplicate_sort_ranges(
-        splats, ntx, nty, L, view_rows=view_rows, cull=config.cull,
-        live_capacity=config.live_capacity, want_gid_counts=want_seg)
+    if BK > 1:
+        assert view_rows % BK == 0, \
+            f"bucket={BK} needs view_rows ({view_rows}) divisible by it"
+        assert nty % view_rows == 0
+        nbx = _cdiv(ntx, BK)
+        vrow_b = view_rows // BK
+        nby = (nty // view_rows) * vrow_b
+        vis = splats.tile_count > 0
+        bx0 = splats.rect_min[:, 0] // BK
+        by0 = splats.rect_min[:, 1] // BK
+        bx1 = -(-splats.rect_max[:, 0] // BK)
+        by1 = -(-splats.rect_max[:, 1] // BK)
+        bcount = jnp.where(vis, (bx1 - bx0) * (by1 - by0), 0)
+        bsp = splats.replace(
+            rect_min=jnp.stack([bx0, by0], axis=-1),
+            rect_max=jnp.stack([bx1, by1], axis=-1),
+            tile_count=bcount)
+        dsr = duplicate_sort_ranges(
+            bsp, nbx, nby, L, view_rows=vrow_b, cull=config.cull,
+            live_capacity=config.live_capacity, want_gid_counts=want_seg,
+            tile_px=TILE * BK)
+        nseg = nbx * nby
+    else:
+        dsr = duplicate_sort_ranges(
+            splats, ntx, nty, L, view_rows=view_rows, cull=config.cull,
+            live_capacity=config.live_capacity, want_gid_counts=want_seg)
+        nseg = ntiles
     order, sorted_gid, starts, ends, totals = dsr[:5]
     gid_counts = dsr[5] if want_seg else None
     total_eff, total_aabb = totals
-    counts = ends - starts
+    counts = ends - starts                               # (nseg,)
 
-    # ---- pad every tile's segment to a pack multiple and gather the
-    # sorted records into the packed (rows, 128) stream. Pad entries point
+    # ---- pad every segment to a pack multiple and gather the sorted
+    # records into the packed (rows, 128) stream. Pad entries point
     # at an appended all-zero record row; the kernels also gate them.
     # With pack=1 segments are already row-aligned — skip the remap pass.
     if pack == 1:
@@ -770,12 +1173,12 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     else:
         pcounts = ((counts + pack - 1) // pack) * pack
         poffsets = jnp.cumsum(pcounts) - pcounts
-        L2 = Leff + ntiles * pack   # static: worst-case per-tile padding
+        L2 = Leff + nseg * pack   # static: worst-case per-segment padding
         tile_pack = jnp.stack([
             poffsets.astype(jnp.float32), starts.astype(jnp.float32),
             counts.astype(jnp.float32),
             jnp.zeros_like(poffsets, jnp.float32),
-        ], axis=1)                                       # (ntiles, 4)
+        ], axis=1)                                       # (nseg, 4)
         rep = jnp.repeat(tile_pack, pcounts, axis=0, total_repeat_length=L2)
         iota2 = jnp.arange(L2, dtype=jnp.int32)
         rank = iota2 - rep[:, 0].astype(jnp.int32)
@@ -790,13 +1193,27 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     # big L-sized gather stays single. It is differentiable end-to-end:
     # gather VJPs are XLA scatter-adds, routing the kernel's per-entry
     # cotangents back to Gaussians.
+    extra_cols = []
+    if BK > 1:
+        # rect pixel bounds (y view-local), stream fields 10-13: the
+        # per-tile gate that makes bucket walks reproduce the rect
+        # truncation bitwise (see _sub_geometry)
+        y0loc = splats.rect_min[:, 1] % view_rows
+        hrect = splats.rect_max[:, 1] - splats.rect_min[:, 1]
+        extra_cols = [
+            (splats.rect_min[:, 0] * TILE).astype(jnp.float32)[:, None],
+            (splats.rect_max[:, 0] * TILE).astype(jnp.float32)[:, None],
+            (y0loc * TILE).astype(jnp.float32)[:, None],
+            ((y0loc + hrect) * TILE).astype(jnp.float32)[:, None],
+        ]
     records = jnp.concatenate([
         splats.mean2d,                      # 0:2
         splats.conic,                       # 2:5
         splats.opacity[:, None],            # 5
         splats.color,                       # 6:9
         splats.invdepth[:, None],           # 9
-        jnp.zeros((P, ps.feat - 10), jnp.float32),
+        *extra_cols,                        # 10:14 rect gate (bucket mode)
+        jnp.zeros((P, ps.feat - 10 - len(extra_cols)), jnp.float32),
     ], axis=1)[order]
     records = jnp.concatenate(
         [records, jnp.zeros((1, ps.feat), jnp.float32)], axis=0)
@@ -827,19 +1244,39 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     feat = feat.reshape((L2 + ps.krec) // pack, ps.row)
 
     # pad the tile axis to a GROUP multiple (count 0 => tile renders bg),
-    # and stash ntx after the starts so the kernel can derive tile coords
+    # and stash ntx after the starts so the kernel can derive tile coords.
+    # In bucket mode every tile points at its parent bucket's segment.
+    if BK > 1:
+        tid = np.arange(ntiles, dtype=np.int32)
+        ty, tx = tid // ntx, tid % ntx
+        by = (ty // view_rows) * vrow_b + (ty % view_rows) // BK
+        bid = jnp.asarray(by * nbx + tx // BK)           # (ntiles,) static
+        starts_tile = poffsets[bid]
+        counts_tile = counts[bid]
+    else:
+        starts_tile, counts_tile = poffsets, counts
     n_programs = _cdiv(ntiles, GROUP)
     nt_pad = n_programs * GROUP
     starts_plus = jnp.concatenate(
-        [poffsets.astype(jnp.int32),
+        [starts_tile.astype(jnp.int32),
          jnp.zeros((nt_pad - ntiles,), jnp.int32),
          jnp.array([ntx, view_rows], jnp.int32)])
     counts_pad = jnp.concatenate(
-        [counts, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
+        [counts_tile, jnp.zeros((nt_pad - ntiles,), jnp.int32)])
 
     comp = _make_composite(n_programs, ntiles, interpret, mode, pack,
-                           config.depth_grad, config.chunk_rows)
-    tiles = comp(feat, starts_plus, counts_pad)
+                           config.depth_grad, config.chunk_rows,
+                           bucket=BK, ntx=ntx, view_rows=view_rows)
+    if BK > 1 and mode == "vjp":
+        # bucket segments are shared by BK^2 tiles: the backward must
+        # accumulate their per-record cotangents in one program (the
+        # per-tile backward would overwrite, not add) — pass the
+        # bucket-level segment table alongside
+        bstarts = poffsets.astype(jnp.int32)
+        bcounts = counts
+        tiles = comp(feat, starts_plus, counts_pad, bstarts, bcounts)
+    else:
+        tiles = comp(feat, starts_plus, counts_pad)
     tiles = tiles[:ntiles]
 
     def assemble(rows, c):

@@ -37,7 +37,7 @@ from gslm_tpu.ops.rasterize_pallas import (DEFAULT_PACK, GROUP, K, get_spec,
                                            strict_prefix_sum)
 
 
-def _make_tile_jvp_kernel(ps: PackSpec):
+def _make_tile_jvp_kernel(ps: PackSpec, rect_gate: bool = False):
     def _tile_jvp_kernel(starts_ref, counts_ref, feat_hbm, fdot_hbm,
                          out_ref, odot_ref, fscratch, dscratch,
                          fsem, dsem):
@@ -49,7 +49,7 @@ def _make_tile_jvp_kernel(ps: PackSpec):
             start = starts_ref[t]
             count = counts_ref[t]
             nchunks = pl.cdiv(count, ps.krec)
-            px, py = _tile_px(starts_ref, t, lin)
+            px, py, txc, tyc = _tile_px(starts_ref, t, lin)
             row0 = start // ps.pack
 
             def dma(buf, hbm, sem, slot, chunk):
@@ -78,7 +78,10 @@ def _make_tile_jvp_kernel(ps: PackSpec):
                 f = fscratch[slot]
                 fd = dscratch[slot]
 
-                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec, count)
+                subs = [_sub_geometry(ps, f, k, px, py, chunk * ps.krec,
+                                      count,
+                                      rect=(txc, tyc) if rect_gate
+                                      else None)
                         for k in range(ps.pack)]
                 ls = [jnp.log1p(-s["a"]) for s in subs]
                 dlogs = []
@@ -168,7 +171,7 @@ def _make_tile_jvp_kernel(ps: PackSpec):
 
 def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
               interpret: bool, pack: int = DEFAULT_PACK,
-              chunk_rows: int = 0):
+              chunk_rows: int = 0, rect_gate: bool = False):
     ps = get_spec(pack, chunk_rows)
     nt_pad = n_programs * GROUP
     nrec = feat.shape[0] * ps.pack
@@ -192,7 +195,7 @@ def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
             pltpu.SemaphoreType.DMA((2,)),
         ])
     return pl.pallas_call(
-        _make_tile_jvp_kernel(ps),
+        _make_tile_jvp_kernel(ps, rect_gate),
         out_shape=(
             jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
             jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, PIX), jnp.float32),
@@ -208,10 +211,11 @@ def _jvp_call(feat, fdot, starts_plus, counts_pad, *, n_programs: int,
 
 
 def make_jvp_composite(n_programs: int, interpret: bool, fwd_call,
-                       pack: int = DEFAULT_PACK, chunk_rows: int = 0):
+                       pack: int = DEFAULT_PACK, chunk_rows: int = 0,
+                       rect_gate: bool = False):
     """Composite-tiles function with a custom_jvp rule (for jax.jvp)."""
     kw = dict(n_programs=n_programs, interpret=interpret, pack=pack,
-              chunk_rows=chunk_rows)
+              chunk_rows=chunk_rows, rect_gate=rect_gate)
 
     @jax.custom_jvp
     def comp(feat, starts_plus, counts_pad):

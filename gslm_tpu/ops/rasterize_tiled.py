@@ -50,7 +50,7 @@ _KEY_BUDGET = 1 << 31
                                  "antialiasing", "impl", "pack", "cull",
                                  "live_capacity", "depth_grad",
                                  "mp_route_capacity", "bwd_reduce",
-                                 "chunk_rows"))
+                                 "chunk_rows", "bucket"))
 class RasterConfig:
     """Static rasterizer capacities (compile-time).
 
@@ -108,6 +108,26 @@ class RasterConfig:
     #                                 (row-serial, ~25 ms at L=1.3M and
     #                                 ~1 s at L=10.5M, ~8e-4 worst-case
     #                                 err) kept as the fallback/reference
+    bucket: int = 1                 # binning granularity in tiles (Pallas
+    #                                 path only): records are (gaussian,
+    #                                 bucket-of-bucket² tiles) instead of
+    #                                 (gaussian, tile). The sort and the
+    #                                 record gather — the two row-bound
+    #                                 stages — shrink ~bucket²/dilution
+    #                                 (~3.7x at bucket=2 on the m1 scene)
+    #                                 while each 16x16 tile walks its
+    #                                 parent bucket's segment; records not
+    #                                 touching the tile contribute alpha
+    #                                 exactly 0, so the composite matches
+    #                                 to chunk-boundary f32 rounding (a
+    #                                 few ulp). Worth it when the
+    #                                 compositor early-exits (deep
+    #                                 streams, e.g. millions of splats);
+    #                                 at shallow streams the kernel's
+    #                                 extra walk outweighs the savings.
+    #                                 Capacities then count bucket
+    #                                 records. Requires view_rows %
+    #                                 bucket == 0.
     chunk_rows: int = 0             # Pallas VMEM rows per DMA chunk
     #                                 (0 → GSLM_RASTER_K/pack, i.e. a
     #                                 fixed record count per chunk). At
@@ -130,6 +150,8 @@ class RasterConfig:
         if self.impl not in ("tiled", "pallas", "pallas_jvp", "auto", "ref"):
             raise ValueError(f"impl={self.impl!r}: must be one of "
                              "tiled/pallas/pallas_jvp/auto/ref")
+        if self.bucket not in (1, 2, 4):
+            raise ValueError(f"bucket={self.bucket}: must be 1, 2 or 4")
 
     def eff_capacity(self) -> int:
         return (self.live_capacity or self.dup_capacity) if self.cull \
@@ -166,8 +188,12 @@ def _lower_bound(keys, bounds, n: int):
     return jnp.minimum(lo, n)
 
 
-def _cell_masks(splats: Splats2D, view_rows: int, cwb: int):
+def _cell_masks(splats: Splats2D, view_rows: int, cwb: int,
+                tile_px: int = TILE):
     """Per-Gaussian 8×8-cell survival masks for exact ellipse–tile culling.
+
+    ``tile_px``: pixel size of one grid unit (TILE for the plain tile
+    grid; TILE*bucket when the rects are bucket-granular).
 
     The AABB tile rect (projection.py, opacity-aware per-axis bounds) still
     keeps tiles the contributing ellipse never touches — the rect corners.
@@ -200,7 +226,7 @@ def _cell_masks(splats: Splats2D, view_rows: int, cwb: int):
     qb = splats.conic[:, 1]
     qc = jnp.maximum(splats.conic[:, 2], 1e-12)
     s2 = 2.0 * jnp.log(jnp.maximum(splats.opacity * 255.0, 1e-12))
-    ftile = float(TILE)
+    ftile = float(tile_px)
     words = [jnp.zeros_like(x0r), jnp.zeros_like(x0r), jnp.zeros_like(x0r)]
     nlive = jnp.zeros_like(x0r)
     for b in range(64):
@@ -231,7 +257,8 @@ def _cell_masks(splats: Splats2D, view_rows: int, cwb: int):
 def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
                           carry_cols=None, *, view_rows: int | None = None,
                           cull: bool = False, live_capacity: int = 0,
-                          want_gid_counts: bool = False):
+                          want_gid_counts: bool = False,
+                          tile_px: int = TILE):
     """Stages 1-3 of the tile pipeline (shared by the XLA and Pallas
     compositors): fixed-capacity duplicate-with-keys, sort by (tile,
     depth), per-tile range extraction.
@@ -302,7 +329,8 @@ def duplicate_sort_ranges(splats: Splats2D, ntx: int, nty: int, L: int,
     if cull:
         cwb = max(_cdiv(ntx, 8).bit_length(), 1)
         chb = max(_cdiv(view_rows, 8).bit_length(), 1)
-        m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb)
+        m0, m1, m2, cwch, nlive = _cell_masks(splats, view_rows, cwb,
+                                              tile_px=tile_px)
         total_live = jnp.sum(nlive)
         cell_cols = (m0, m1, m2, cwch)
         if want_gid_counts:

@@ -264,15 +264,38 @@ def overflow_probe(params: GaussianParams, cameras: CameraBatch, *,
     P = params.xyz.shape[0]
 
     def one_view(camera):
+        from gslm_tpu.ops.projection import TILE as _T
         sp = preprocess(params, camera, active_sh_degree=active_sh_degree,
                         antialiasing=config.antialiasing, alive=alive)
-        n_aabb = jnp.sum(sp.tile_count)
-        if config.cull:
-            cwb = max(_cdiv(ntx, 8).bit_length(), 1)
-            *_, nlive = _cell_masks(sp, nty, cwb)
-            n_live = jnp.sum(nlive)
+        BK = config.bucket
+        if BK > 1:
+            # bucket-binned raster: capacities count BUCKET records
+            # (rasterize_pallas bins stages 1-3 at BK x BK-tile granularity)
+            vis = sp.tile_count > 0
+            bx0 = sp.rect_min[:, 0] // BK
+            by0 = sp.rect_min[:, 1] // BK
+            bx1 = -(-sp.rect_max[:, 0] // BK)
+            by1 = -(-sp.rect_max[:, 1] // BK)
+            spb = sp.replace(
+                rect_min=jnp.stack([bx0, by0], axis=-1),
+                rect_max=jnp.stack([bx1, by1], axis=-1),
+                tile_count=jnp.where(vis, (bx1 - bx0) * (by1 - by0), 0))
+            n_aabb = jnp.sum(spb.tile_count)
+            if config.cull:
+                cwb = max(_cdiv(_cdiv(ntx, BK), 8).bit_length(), 1)
+                *_, nlive = _cell_masks(spb, _cdiv(nty, BK), cwb,
+                                        tile_px=_T * BK)
+                n_live = jnp.sum(nlive)
+            else:
+                n_live = n_aabb
         else:
-            n_live = n_aabb
+            n_aabb = jnp.sum(sp.tile_count)
+            if config.cull:
+                cwb = max(_cdiv(ntx, 8).bit_length(), 1)
+                *_, nlive = _cell_masks(sp, nty, cwb)
+                n_live = jnp.sum(nlive)
+            else:
+                n_live = n_aabb
         out = {"n_aabb": n_aabb, "n_live": n_live}
         if n_model > 1:
             w = jnp.maximum(sp.rect_max[:, 0] - sp.rect_min[:, 0], 0)
