@@ -54,6 +54,16 @@ _result: dict = {"metric": "render_1080p_rays_per_s", "value": 0.0,
 _emitted = False
 
 
+def _progress(name: str, val=None) -> None:
+    """Per-section stderr progress line (the JSON stays one stdout line;
+    without these a stuck run is indistinguishable from a compiling one —
+    exactly how r4 lost its record)."""
+    t = time.monotonic() - _t_start
+    print(f"bench: {name} done at {t:.0f}s"
+          + (f" ({val})" if val is not None else ""),
+          file=sys.stderr, flush=True)
+
+
 def _emit(partial: bool = False) -> None:
     """Print the single JSON line exactly once (watchdog or main path)."""
     global _emitted
@@ -201,6 +211,7 @@ def main():
             if not v["ok"]:
                 print(f"PARITY FAILURE {k}: max_err={v['max_err']:.3e} "
                       f"{v.get('per_group', '')}", file=sys.stderr)
+        _progress("parity", "ok" if pm["ok"] else "FAIL")
 
     extra.update(n_gaussians=n_gauss, resolution=f"{W}x{H}",
                  device=str(jax.devices()[0]), quick=args.quick)
@@ -215,6 +226,7 @@ def main():
     _result.update(value=round(rays_fwd, 1),
                    vs_baseline=round(rays_fwd / BASELINE_RAYS_PER_S, 4))
     extra["fwd_ms"] = round(t_fwd * 1e3, 3)
+    _progress("fwd", extra["fwd_ms"])
 
     # ---- forward + backward -------------------------------------------
     @jax.jit
@@ -228,6 +240,7 @@ def main():
     t_fb = _time_calls(fwd_bwd, (params, camera, bg, gt), max(iters // 2, 3))
     extra["fwd_bwd_rays_per_s"] = round(H * W / t_fb, 1)
     extra["fwd_bwd_ms"] = round(t_fb * 1e3, 3)
+    _progress("fwd_bwd", extra["fwd_bwd_ms"])
 
     # ---- full Adam training iteration (A6000 ~65 ms/iter comparator) ---
     cam1 = ring_camera_batch(1, H, W)
@@ -241,6 +254,7 @@ def main():
                          max(iters // 2, 3))
     extra["adam_iter_ms"] = round(t_adam * 1e3, 3)
     extra["adam_iter_vs_a6000"] = round(A6000_ITER_MS / (t_adam * 1e3), 4)
+    _progress("adam_iter", extra["adam_iter_ms"])
 
     # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
     lm_cams_small = ring_camera_batch(2, lm_hw if args.quick else 540,
@@ -280,6 +294,7 @@ def main():
         t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
         extra["lm_matvec_per_s"] = round(1.0 / t_mv, 3)
         extra["lm_matvec_T_per_s"] = round(1.0 / t_mvT, 3)
+        _progress("lm_operators")
 
     # ---- million-Gaussian configuration (reference 24 GB envelope) -----
     if on_tpu and not args.quick and not args.skip_1m \
@@ -320,6 +335,7 @@ def main():
                            "n_gaussians": P1,
                            "n_records": int(diag(p1, camera)),
                            "dup_capacity": cfg1.dup_capacity}
+            _progress("m1", extra["m1"]["fwd_ms"])
         except Exception as e:       # noqa: BLE001 - report, don't die
             print(f"1M config failed: {e}", file=sys.stderr)
             extra["m1"] = {"error": str(e)[:200]}
@@ -368,6 +384,7 @@ def main():
         try:
             t = _time_calls(outer(lmp), (params,), 1, warmup=1, reps=2)
             extra[name] = round(t, 3)
+            _progress(name, extra[name])
         except Exception as e:   # noqa: BLE001 - report, don't die
             print(f"{name} failed: {e}", file=sys.stderr)
             extra[name] = None

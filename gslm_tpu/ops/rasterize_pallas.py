@@ -1129,7 +1129,13 @@ def rasterize_pallas(splats: Splats2D, height: int, width: int,
     # early exit makes cheap on deep streams (measured m1: tiles read 256
     # of p50=1189 records). Capacities count BUCKET records in this mode.
     BK = config.bucket
-    want_seg = mode == "vjp" and config.bwd_reduce == "sortseg"
+    reduce = config.bwd_reduce
+    if reduce == "auto":
+        # resolve by live record count: scatter-add is faster (and
+        # compiles fast) below ~4M records; the sortseg perm-gather wins
+        # ~1.5x at the million-Gaussian scale (see RasterConfig notes)
+        reduce = ("sortseg" if Leff > _SEG_PAYLOAD_SORT_MAX else "scatter")
+    want_seg = mode == "vjp" and reduce == "sortseg"
     if BK > 1:
         assert view_rows % BK == 0, \
             f"bucket={BK} needs view_rows ({view_rows}) divisible by it"

@@ -95,19 +95,25 @@ class RasterConfig:
     #                                 shard may send to ONE band owner);
     #                                 0 → all_gather every shard's splats
     #                                 (parallel/model_raster.py)
-    bwd_reduce: str = "sortseg"     # Pallas backward (L,10)->(P,10)
-    #                                 cotangent reduction: "sortseg"
-    #                                 (default since r5) = sort-by-gaussian
-    #                                 + segmented-scan segment-sum — exact
-    #                                 tree-order sums, ~16 ms at L=1.3M on
-    #                                 v5e and parity-green on the full r4
-    #                                 hardware matrix (grads ≤1.5e-6 rel,
-    #                                 BENCH_r04; the r3 cumsum-diff variant
-    #                                 that failed the gate is gone);
-    #                                 "scatter" = XLA scatter-add
-    #                                 (row-serial, ~25 ms at L=1.3M and
-    #                                 ~1 s at L=10.5M, ~8e-4 worst-case
-    #                                 err) kept as the fallback/reference
+    bwd_reduce: str = "auto"        # Pallas backward (L,10)->(P,10)
+    #                                 cotangent reduction. "auto" (default
+    #                                 since r5) resolves by live record
+    #                                 count: "scatter" (XLA scatter-add,
+    #                                 row-serial) below ~4M records,
+    #                                 "sortseg" (sort-by-gaussian +
+    #                                 segmented-scan segment-sum) above.
+    #                                 Measured in-graph on v5e (honest
+    #                                 A/B; standalone pure-XLA timings
+    #                                 over the axon tunnel under-report):
+    #                                 at L=1.3M scatter fwd+bwd 83.1 ms vs
+    #                                 sortseg 105.6 ms (and the sortseg
+    #                                 lowering compiles pathologically
+    #                                 slowly at this size); at L=10.5M
+    #                                 sortseg 909 ms vs scatter 1392 ms.
+    #                                 Both are parity-green on the full
+    #                                 hardware matrix (grads ≤1.5e-6 rel);
+    #                                 the r3 cumsum-diff variant that
+    #                                 failed the 1e-4 gate is gone.
     bucket: int = 1                 # binning granularity in tiles (Pallas
     #                                 path only): records are (gaussian,
     #                                 bucket-of-bucket² tiles) instead of
@@ -142,11 +148,11 @@ class RasterConfig:
             raise ValueError(
                 f"chunk_rows={self.chunk_rows}: must be a non-negative "
                 "multiple of 8 (VMEM sublane tile)")
-        if self.bwd_reduce not in ("scatter", "sortseg"):
+        if self.bwd_reduce not in ("auto", "scatter", "sortseg"):
             raise ValueError(
-                f"bwd_reduce={self.bwd_reduce!r}: must be 'scatter' or "
-                "'sortseg' (unknown values would silently fall through "
-                "to the scatter path)")
+                f"bwd_reduce={self.bwd_reduce!r}: must be 'auto', "
+                "'scatter' or 'sortseg' (unknown values would silently "
+                "fall through to the scatter path)")
         if self.impl not in ("tiled", "pallas", "pallas_jvp", "auto", "ref"):
             raise ValueError(f"impl={self.impl!r}: must be one of "
                              "tiled/pallas/pallas_jvp/auto/ref")

@@ -116,6 +116,12 @@ def run_parity_matrix(quick: bool = False) -> dict:
                  ga=g_tnc)
     record_grads("grads_pack8",
                  grad_of(cfg.replace(impl="pallas", pack=8))[1])
+    # bucket-binned stream (r5): fwd image + grads through the bucket
+    # backward kernel (rect-gated walk, member-tile accumulation)
+    img_b, g_b2 = grad_of(cfg.replace(impl="pallas", bucket=2))
+    record("fwd_bucket2", float(jnp.abs(img_b - img_t).max()),
+           jnp.allclose(img_b, img_t, atol=IMG_ATOL))
+    record_grads("grads_bucket2", g_b2)
 
     # ---- fused multi-view batch (view_rows path) ------------------------
     cams = ring_camera_batch(2, H, W)

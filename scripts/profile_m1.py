@@ -57,6 +57,10 @@ def main():
                     help="also run the isolated front-end stage timings")
     ap.add_argument("--fwd_only", action="store_true",
                     help="skip the fwd+bwd timing (cheap chunk_rows sweeps)")
+    ap.add_argument("--bucket", type=int, default=1,
+                    help="record-binning granularity in tiles (1/2/4); "
+                         "capacities below are auto-scaled from the "
+                         "bucket-record probe")
     args = ap.parse_args()
     packs = args.packs
     rng = np.random.default_rng(2)
@@ -67,13 +71,29 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
 
+    caps = {1: (10_579_968, 8_650_752)}   # r5 probe +5% (AABB/live)
+    if args.bucket > 1:
+        from gslm_tpu.renderer import overflow_probe_jit
+        from gslm_tpu.utils.synthetic import ring_camera_batch
+        pcfg = RasterConfig(dup_capacity=8, max_per_tile=8192, tile_chunk=64,
+                            impl="pallas", pack=8, bucket=args.bucket)
+        pout = overflow_probe_jit(params, ring_camera_batch(1, H, W),
+                                  config=pcfg, alive=aux.alive,
+                                  per_view=True)
+        na = int(np.asarray(pout["n_aabb"])[0])
+        nl = int(np.asarray(pout["n_live"])[0])
+        print(f"bucket={args.bucket} records: AABB {na} live {nl}",
+              flush=True)
+        caps[args.bucket] = (int(na * 1.05) // 1024 * 1024 + 1024,
+                             int(nl * 1.05) // 1024 * 1024 + 1024)
+    dup_c, live_c = caps[args.bucket]
     for pack in packs:
         for rows in args.rows:
             for red in args.reduce:
-                cfg = RasterConfig(dup_capacity=12 << 20, max_per_tile=8192,
+                cfg = RasterConfig(dup_capacity=dup_c, max_per_tile=8192,
                                    tile_chunk=64, impl="pallas", pack=pack,
-                                   live_capacity=10 << 20, chunk_rows=rows,
-                                   bwd_reduce=red)
+                                   live_capacity=live_c, chunk_rows=rows,
+                                   bwd_reduce=red, bucket=args.bucket)
                 try:
                     fwd = jax.jit(lambda p, cfg=cfg: render(
                         p, camera, bg, config=cfg, alive=aux.alive).render)

@@ -28,7 +28,7 @@ if not os.environ.get("GSLM_TEST_NO_CACHE"):
         os.path.abspath(__file__))), ".jax_cache")
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
