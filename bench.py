@@ -304,15 +304,16 @@ def main():
             p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
                                       capacity=P1, num_images=1, spread=1.5,
                                       scale_range=(-5.5, -3.5))
-            # ~8x the 131k record stream; pack=8 shrinks the HBM stream 8x.
-            # Capacities sized from the on-chip probe (r5): AABB total
-            # 10,074,118 / live 8,277,812 for this fixed-seed scene — a
-            # ~5% margin; the sort pays dup_capacity and the gather pays
-            # live_capacity, so r4's 12.58M/10.49M ceilings were ~17%
-            # of pure overhead in both row-bound stages. overflow stays 0.
-            cfg1 = RasterConfig(dup_capacity=10_579_968, max_per_tile=8192,
+            # pack=8 shrinks the HBM stream 8x; bucket=4 bins records at
+            # 64x64-pixel granularity — the m1 kernel early-exits after
+            # reading ~20% of the stream, so the row-bound sort/gather
+            # dominate and 4x fewer records bought fwd 460 -> 152 ms,
+            # fwd+bwd 1392 -> 455 ms (r5 on-chip; bucket=2 measured
+            # 239/673). Capacities from the bucket-record probe (AABB
+            # 2,207,812 / live 2,075,156) + 5%.
+            cfg1 = RasterConfig(dup_capacity=2_318_336, max_per_tile=8192,
                                 tile_chunk=64, impl="auto", pack=8,
-                                live_capacity=8_650_752)
+                                live_capacity=2_179_072, bucket=4)
 
             @jax.jit
             def fwd1(p, cam, bg):

@@ -123,6 +123,29 @@ def run_parity_matrix(quick: bool = False) -> dict:
            jnp.allclose(img_b, img_t, atol=IMG_ATOL))
     record_grads("grads_bucket2", g_b2)
 
+    # bucket=4 (the m1 bench configuration, 16-member accumulation) needs
+    # tile rows % 4 == 0 — run it at its own 192-px-tall camera
+    H4 = 128 if quick else 192
+    cam4 = camera_from_meta(make_camera(height=H4, width=W))
+    gt4 = jnp.asarray(np.random.default_rng(8).uniform(0, 1, (3, H4, W)),
+                      jnp.float32)
+
+    def loss4(p, c):
+        img = render(p, cam4, bg, config=c, alive=aux.alive,
+                     use_trained_exp=True).render
+        return jnp.sum((img - gt4) ** 2), img
+
+    def grad4_of(c):
+        (_, img), g = jax.jit(jax.value_and_grad(
+            lambda p: loss4(p, c), has_aux=True))(params)
+        return img, g
+
+    img4_t, g4_t = grad4_of(cfg)
+    img4_b, g4_b = grad4_of(cfg.replace(impl="pallas", bucket=4))
+    record("fwd_bucket4", float(jnp.abs(img4_b - img4_t).max()),
+           jnp.allclose(img4_b, img4_t, atol=IMG_ATOL))
+    record_grads("grads_bucket4", g4_b, ga=g4_t)
+
     # ---- fused multi-view batch (view_rows path) ------------------------
     cams = ring_camera_batch(2, H, W)
 

@@ -59,9 +59,14 @@ def test_bucket_forward_with_cull(rng):
                                np.asarray(base.render), atol=1e-6)
 
 
-@pytest.mark.parametrize("reduce", ["scatter", "sortseg"])
-def test_bucket_grads_match(rng, reduce):
-    params, aux, cam = _scene(rng)
+@pytest.mark.parametrize("bucket,reduce", [(2, "scatter"), (2, "sortseg"),
+                                           (4, "scatter")])
+def test_bucket_grads_match(rng, bucket, reduce):
+    # bucket=4 needs view_rows % 4 == 0 -> 128-px-tall camera (8 rows);
+    # its backward runs one 16-member-tile bucket per program (B2=16)
+    params, aux = random_gaussians(rng, n=512, capacity=512)
+    cam = camera_from_meta(make_camera(height=128 if bucket == 4 else 96,
+                                       width=128))
     gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)),
                      jnp.float32)
 
@@ -72,7 +77,7 @@ def test_bucket_grads_match(rng, reduce):
 
     g1 = jax.grad(lambda p: loss(p, CFG.replace(bwd_reduce=reduce)))(params)
     g2 = jax.grad(lambda p: loss(
-        p, CFG.replace(bucket=2, bwd_reduce=reduce)))(params)
+        p, CFG.replace(bucket=bucket, bwd_reduce=reduce)))(params)
     for k in ("xyz", "scaling", "rotation", "opacity", "features_dc",
               "features_rest"):
         a, b = np.asarray(getattr(g1, k)), np.asarray(getattr(g2, k))
