@@ -140,9 +140,14 @@ class RasterConfig:
     #                                 fixed record count per chunk). At
     #                                 pack=8 the default chunk is 16 rows
     #                                 = 8 KB per DMA; raising it amortizes
-    #                                 DMA issue + loop overhead for
-    #                                 million-Gaussian streams at the cost
-    #                                 of coarser early-exit granularity
+    #                                 DMA issue + loop overhead at the
+    #                                 cost of coarser early-exit
+    #                                 granularity. Swept on-chip at the
+    #                                 million-Gaussian config (r5,
+    #                                 pack=8 fwd): rows 0/8/64/128/256 →
+    #                                 460/463/467/483/511 ms — early-exit
+    #                                 granularity wins, keep the default
+    #                                 (scripts/profile_m1.py --rows ...)
 
     def __post_init__(self):
         if self.chunk_rows < 0 or self.chunk_rows % 8:
