@@ -349,11 +349,21 @@ def main():
     # check_divergence costs (measured r4: ls ~20 s of 26.7, nodiv ~0.2 s).
     lm_win = ring_camera_batch(lm_views, H, W)
     lm_valb = ring_camera_batch(lm_val, H, W, gt_seed=1)
-    # 5-view fused window: ~5x the single-view record stream
-    win_cfg = RasterConfig(
-        dup_capacity=cfg.dup_capacity * lm_views, max_per_tile=2048,
-        tile_chunk=cfg.tile_chunk, impl=cfg.impl, pack=8 if on_tpu else 0,
-        live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
+    # 5-view fused window: ~5x the single-view record stream. Capacities
+    # from the r5 on-chip probe over the 50-view ring (worst 5-view
+    # window AABB 6,337,123 / live 5,209,072) + 5% — the sort pays
+    # dup_capacity per chunk render, so the old x5 ceilings carried ~29%
+    # pure overhead through every line-search render.
+    if args.quick:
+        win_cfg = RasterConfig(
+            dup_capacity=cfg.dup_capacity * lm_views, max_per_tile=2048,
+            tile_chunk=cfg.tile_chunk, impl=cfg.impl,
+            live_capacity=(cfg.live_capacity * lm_views) // 256 * 256)
+    else:
+        win_cfg = RasterConfig(
+            dup_capacity=6_654_208, max_per_tile=2048,
+            tile_chunk=cfg.tile_chunk, impl=cfg.impl,
+            pack=8 if on_tpu else 0, live_capacity=5_469_696)
     variants = []
     if args.lm_variants != "none" and not args.quick:
         # val_pack=1: line-search/val renders (fwd-only, one chunk live)
@@ -362,7 +372,12 @@ def main():
         vp = 1 if on_tpu else 0
         variants = [("lm_outer_step_s", cfg_mod.LMParams(val_pack=vp)),
                     ("lm_outer_staged_s",
-                     cfg_mod.LMParams(ls_subset_views=10, val_pack=vp))]
+                     cfg_mod.LMParams(ls_subset_views=10, val_pack=vp)),
+                    # resolution-staged ranking (alphas ranked at 540p,
+                    # winner scored at full res; selection-equality
+                    # evidence in scripts/ls_selection_check.py)
+                    ("lm_outer_res2_s",
+                     cfg_mod.LMParams(ls_val_scale=2, val_pack=vp))]
         if args.lm_variants == "all":
             variants += [
                 ("lm_outer_ls1_s",

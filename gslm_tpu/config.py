@@ -92,6 +92,17 @@ class LMParams:
     num_val_views: int = 50            # train_jvp.py:214-216
     val_view_stride: int = 19
     check_divergence: bool = True
+    ls_val_scale: int = 1              # staged line search, resolution
+    #                                    axis: rank the alphas on val
+    #                                    views rendered at 1/s resolution
+    #                                    (2x2-avg-pooled gt, same
+    #                                    cameras), then score just the
+    #                                    winner on the full-resolution
+    #                                    set — best_val_loss stays exact.
+    #                                    Cuts ranking render cost ~s^2;
+    #                                    composes with ls_subset_views.
+    #                                    1 = reference-faithful. Needs
+    #                                    H % s == 0 and W % s == 0.
     val_pack: int = 0                  # record packing for the val-view /
     #                                    line-search renders only (0 =
     #                                    inherit the window RasterConfig).

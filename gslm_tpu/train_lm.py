@@ -32,6 +32,30 @@ from gslm_tpu.solver.operators import LMOperators, chunked_residual_fn
 from gslm_tpu.solver.residuals import batch_residuals
 
 
+def downscale_val_batch(val: CameraBatch, s: int) -> CameraBatch:
+    """The same views at 1/s resolution for line-search RANKING renders.
+
+    Cameras keep their matrices/FOV (the NDC->pixel map uses the static
+    height/width, so halving the canvas is resolution-exact); gt/mask/
+    depth images are s x s average-pooled. Per-view true extents divide
+    by s — edge pixels of partially-padded views blend valid and pad
+    content in the pooled gt, a ranking-only approximation (the winner
+    is re-scored on the full-resolution set)."""
+    H, W = val.height, val.width
+    assert H % s == 0 and W % s == 0, (H, W, s)
+
+    def pool(img):
+        B, C = img.shape[:2]
+        return img.reshape(B, C, H // s, s, W // s, s).mean(axis=(3, 5))
+
+    return val.replace(
+        gt_image=pool(val.gt_image), alpha_mask=pool(val.alpha_mask),
+        invdepth_gt=pool(val.invdepth_gt),
+        depth_mask=pool(val.depth_mask),
+        heights=val.heights // s, widths=val.widths // s,
+        height=H // s, width=W // s)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "lm", "active_sh_degree", "use_exp",
@@ -106,37 +130,44 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     val_mb = mb if nval > mb else nval
     if nval % val_mb != 0:
         val_mb = nval      # direct callers with odd sizes: one chunk
-    val_chunks = jax.tree.map(
-        lambda x: x.reshape(nval // val_mb, val_mb, *x.shape[1:]), val)
-    vweights = (jnp.ones((nval,), jnp.float32) if val_valid is None
-                else val_valid).reshape(nval // val_mb, val_mb)
     # val/line-search renders are forward-only with one chunk live at a
     # time: lm.val_pack lets them use a faster record packing than the
     # window's footprint-driven choice (config.py LMParams.val_pack)
-    val_res = res_of(rcfg if lm.val_pack == 0
-                     else rcfg.replace(pack=lm.val_pack))
-    nch_total = nval // val_mb
+    vcfg = rcfg if lm.val_pack == 0 else rcfg.replace(pack=lm.val_pack)
 
-    def val_loss_chunks(p, chunk_idx=None):
-        # chunked sum of squared residual norms: bounded memory for the 50
-        # validation views (reference train_jvp.py:214-216,264-280).
-        # ``chunk_idx`` (static tuple) selects a subset of chunks for the
-        # staged line search.
-        def one(args):
-            cams, w = args
-            r = val_res(p, cams)
-            r = jax.tree.map(lambda x: x * w[:, None, None, None], r)
-            return r.loss_scalar
-        if chunk_idx is None:
-            sel, w = val_chunks, vweights
-        else:
-            ci = jnp.asarray(chunk_idx, jnp.int32)
-            sel = jax.tree.map(lambda x: x[ci], val_chunks)
-            w = vweights[ci]
-        loss = jnp.sum(jax.lax.map(one, (sel, w)))
-        if axis_name is not None:
-            return jax.lax.psum(loss, axis_name)
-        return loss
+    def make_val_loss(valb, cfg):
+        """Chunked sum of squared residual norms over a val batch:
+        bounded memory for the 50 validation views (reference
+        train_jvp.py:214-216,264-280). The returned fn's ``chunk_idx``
+        (static tuple) selects a chunk subset for the staged search."""
+        chunks = jax.tree.map(
+            lambda x: x.reshape(nval // val_mb, val_mb, *x.shape[1:]),
+            valb)
+        wts = (jnp.ones((nval,), jnp.float32) if val_valid is None
+               else val_valid).reshape(nval // val_mb, val_mb)
+        res = res_of(cfg)
+
+        def loss_chunks(p, chunk_idx=None):
+            def one(args):
+                cams, w = args
+                r = res(p, cams)
+                r = jax.tree.map(lambda x: x * w[:, None, None, None], r)
+                return r.loss_scalar
+            if chunk_idx is None:
+                sel, w = chunks, wts
+            else:
+                ci = jnp.asarray(chunk_idx, jnp.int32)
+                sel = jax.tree.map(lambda x: x[ci], chunks)
+                w = wts[ci]
+            loss = jnp.sum(jax.lax.map(one, (sel, w)))
+            if axis_name is not None:
+                return jax.lax.psum(loss, axis_name)
+            return loss
+
+        return loss_chunks
+
+    val_loss_chunks = make_val_loss(val, vcfg)
+    nch_total = nval // val_mb
 
     def val_loss(p):
         return val_loss_chunks(p)
@@ -159,21 +190,42 @@ def lm_outer_step(params, alive, window: CameraBatch, val: CameraBatch, bg,
     alphas = jnp.asarray([lm.line_search_alpha0 * (0.5 ** i)
                           for i in range(lm.line_search_steps + 1)])
     ks = lm.ls_subset_views
-    if 0 < ks < nval and lm.line_search_steps > 0:
-        # staged search: rank every alpha on ceil(k/chunk) chunks of val
-        # views only (per data-shard when sharded), then score just the
-        # winning alpha on the full set. Renders drop from (steps+1)*nval
-        # to (steps+1)*k + nval views; the selected alpha can differ from
-        # the reference's full-set ranking when the subset disagrees
-        # (config.py LMParams.ls_subset_views). The subset STRIDES the
-        # chunk axis — val views come from a camera ring, so a first-k
-        # prefix would be spatially correlated; striding inherits the
-        # reference's own stride-19 val selection spirit
-        # (train_jvp.py:214-216; VERDICT r4 weak #5).
-        nch_sub = min(nch_total, max(1, -(-ks // val_mb)))
-        sub_idx = tuple(i * nch_total // nch_sub for i in range(nch_sub))
+    vsc = lm.ls_val_scale
+    if ((0 < ks < nval) or vsc > 1) and lm.line_search_steps > 0:
+        # staged search: rank every alpha on a cheaper proxy — a
+        # stride-sampled subset of val chunks (ls_subset_views; the
+        # subset STRIDES the chunk axis, since a first-k prefix of a
+        # camera ring is spatially correlated — the reference's own val
+        # selection is stride-19, train_jvp.py:214-216) and/or the val
+        # views rendered at 1/ls_val_scale resolution (2x2-avg-pooled gt,
+        # same cameras/FOV — the scene content driving the ranking is
+        # unchanged, only pixel sampling density drops) — then score just
+        # the winning alpha on the FULL set at FULL resolution, so
+        # best_val_loss is always exact. The selected alpha can differ
+        # from the reference's full ranking when the proxy disagrees
+        # (selection-equality evidence: scripts/ls_selection_check.py).
+        if vsc > 1:
+            val_r = downscale_val_batch(val, vsc)
+            # the half-res stream shrinks ~vsc^2 for multi-tile splats
+            # but never below 1 record/splat: keep a 2x margin over the
+            # area scaling (ranking-only; the final score re-renders at
+            # full resolution with the probed capacities)
+            cap = max(512, vcfg.dup_capacity // (vsc * vsc) * 2)
+            lcap = max(512, vcfg.live_capacity // (vsc * vsc) * 2) \
+                if vcfg.live_capacity else 0
+            rank_cfg = vcfg.replace(dup_capacity=cap // 256 * 256,
+                                    live_capacity=lcap // 256 * 256)
+            rank_loss = make_val_loss(val_r, rank_cfg)
+        else:
+            rank_loss = val_loss_chunks
+        if 0 < ks < nval:
+            nch_sub = min(nch_total, max(1, -(-ks // val_mb)))
+            sub_idx = tuple(i * nch_total // nch_sub
+                            for i in range(nch_sub))
+        else:
+            sub_idx = None
         losses = jax.lax.map(
-            lambda a: val_loss_chunks(G.saxpy(a, s, params), sub_idx),
+            lambda a: rank_loss(G.saxpy(a, s, params), sub_idx),
             alphas)
         best = jnp.argmin(losses)
         best_alpha = alphas[best]

@@ -237,3 +237,47 @@ def test_lm_staged_line_search(tmp_path):
     np.testing.assert_allclose(float(i_sub["best_val_loss"]),
                                float(np.asarray(i_ref["val_losses"])[k]),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_lm_resolution_staged_line_search(tmp_path):
+    """ls_val_scale > 1: alphas are ranked on half-resolution val renders
+    and the winner re-scored on the full-resolution set — best_val_loss
+    must equal the full-res full-set loss of the chosen alpha (the
+    reference path's own val_losses at that alpha)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gslm_tpu.models.cameras import batch_from_metas
+    from gslm_tpu.models.scene import Scene
+    from gslm_tpu.ops.rasterize_tiled import RasterConfig
+    from gslm_tpu.train_lm import lm_outer_step
+
+    src = build_colmap_scene(str(tmp_path / "scene"), n_views=6)
+    scene = Scene(src, str(tmp_path / "model"), resolution=1, shuffle=False,
+                  capacity=64)
+    all_train = batch_from_metas(scene.get_train_cameras())
+    rcfg = RasterConfig(dup_capacity=1 << 12, max_per_tile=128, tile_chunk=8)
+    bg = jnp.zeros(3)
+    window = jax.tree.map(lambda x: x[:2], all_train)
+    val = jax.tree.map(lambda x: x[2:6], all_train)
+    base = cfg_mod.LMParams(num_images=2, micro_batch=2, num_val_views=4,
+                            val_view_stride=1, line_search_steps=3)
+
+    def run(lm):
+        return lm_outer_step(scene.params, scene.aux.alive, window, val,
+                             bg, rcfg=rcfg, lm=lm, active_sh_degree=0,
+                             use_exp=False)
+
+    import dataclasses as _dc
+    _, i_ref = run(base)
+    _, i_res = run(_dc.replace(base, ls_val_scale=2))
+    a = float(i_res["best_alpha"])
+    alphas_ref = [2.0 * 0.5 ** i for i in range(4)]
+    k = alphas_ref.index(a)
+    np.testing.assert_allclose(float(i_res["best_val_loss"]),
+                               float(np.asarray(i_ref["val_losses"])[k]),
+                               rtol=1e-5)
+    # composing with the subset axis stays well-formed
+    _, i_both = run(_dc.replace(base, ls_val_scale=2, ls_subset_views=2))
+    assert np.isfinite(float(i_both["best_val_loss"]))
