@@ -38,7 +38,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    params, aux, cams, rcfg, bg = build_problem(seed=args.seed)
+    # hw=128: the Pallas SSIM blur needs 128-aligned widths on TPU (the
+    # quality-defense runs use the same shape)
+    params, aux, cams, rcfg, bg = build_problem(
+        seed=args.seed, n_rich=6000, n_init=400, capacity=2048, n_views=8,
+        hw=128, dup_capacity=1 << 20)
     params, aux = run_adam(params, aux, cams, rcfg, bg, iters=1500,
                            densify_every=100, densify_from=100,
                            densify_until=900, seed=args.seed + 1)
