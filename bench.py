@@ -92,18 +92,31 @@ def _watchdog(hard_deadline_s: float) -> None:
     os._exit(0)
 
 
-def _time_calls(fn, args, iters: int, warmup: int = 2, reps: int = 3) -> float:
-    """Median-of-reps wall time per call; one device sync per block."""
+def _time_calls(fn, args, iters: int, warmup: int = 2, reps: int = 3,
+                readback: bool = False) -> float:
+    """Median-of-reps wall time per call; one device sync per block.
+
+    ``readback=True`` syncs by fetching the output's VALUE instead of
+    block_until_ready — over the axon tunnel, block_until_ready can
+    return before real execution on some programs (observed on the
+    ls_val_scale LM variant, which "timed" 0.0 s; the same mechanism the
+    r4 verify notes flagged for pure-XLA programs). Use it whenever the
+    output is a cheap scalar."""
     import jax
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    if readback:
+        np.asarray(jax.tree.leaves(out)[0])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        if readback:
+            np.asarray(jax.tree.leaves(out)[0])
+        else:
+            jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / iters)
     return float(np.median(times))
 
@@ -296,51 +309,6 @@ def main():
         extra["lm_matvec_T_per_s"] = round(1.0 / t_mvT, 3)
         _progress("lm_operators")
 
-    # ---- million-Gaussian configuration (reference 24 GB envelope) -----
-    if on_tpu and not args.quick and not args.skip_1m \
-            and fits("m1", 120):
-        try:
-            P1 = 1 << 20
-            p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
-                                      capacity=P1, num_images=1, spread=1.5,
-                                      scale_range=(-5.5, -3.5))
-            # pack=8 shrinks the HBM stream 8x; bucket=4 bins records at
-            # 64x64-pixel granularity — the m1 kernel early-exits after
-            # reading ~20% of the stream, so the row-bound sort/gather
-            # dominate and 4x fewer records bought fwd 460 -> 152 ms,
-            # fwd+bwd 1392 -> 455 ms (r5 on-chip; bucket=2 measured
-            # 239/673). Capacities from the bucket-record probe (AABB
-            # 2,207,812 / live 2,075,156) + 5%.
-            cfg1 = RasterConfig(dup_capacity=2_318_336, max_per_tile=8192,
-                                tile_chunk=64, impl="auto", pack=8,
-                                live_capacity=2_179_072, bucket=4)
-
-            @jax.jit
-            def fwd1(p, cam, bg):
-                return render(p, cam, bg, config=cfg1, alive=a1.alive).render
-
-            @jax.jit
-            def fwd_bwd1(p, cam, bg, gt):
-                def loss_fn(p):
-                    img = render(p, cam, bg, config=cfg1,
-                                 alive=a1.alive).render
-                    return jnp.mean(jnp.abs(img - gt))
-                return jax.value_and_grad(loss_fn)(p)[1].xyz
-
-            t1f = _time_calls(fwd1, (p1, camera, bg), 3)
-            t1fb = _time_calls(fwd_bwd1, (p1, camera, bg, gt), 3)
-            diag = jax.jit(lambda p, cam: render(
-                p, cam, bg, config=cfg1, alive=a1.alive).n_duplicates)
-            extra["m1"] = {"fwd_ms": round(t1f * 1e3, 3),
-                           "fwd_bwd_ms": round(t1fb * 1e3, 3),
-                           "n_gaussians": P1,
-                           "n_records": int(diag(p1, camera)),
-                           "dup_capacity": cfg1.dup_capacity}
-            _progress("m1", extra["m1"]["fwd_ms"])
-        except Exception as e:       # noqa: BLE001 - report, don't die
-            print(f"1M config failed: {e}", file=sys.stderr)
-            extra["m1"] = {"error": str(e)[:200]}
-
     # ---- FULL LM outer step at reference settings (SURVEY §3.2) --------
     # window 5 @1080p, 50 val views x 7 line-search alphas, cg 2:
     # the cost anatomy the LM phase must win at. Variants: staged
@@ -392,18 +360,72 @@ def main():
                                  use_exp=False)[1]["best_val_loss"]
         return f
 
-    for name, lmp in variants:
-        # warm-cache estimate: 1 warmup + 2 reps of a <=30 s step, plus
-        # slack for a cold compile the cache hasn't seen yet
-        if not fits(name, 150):
-            continue
+    def run_variant(name, lmp, need_s):
+        # need_s: warm-cache estimate (1 warmup + 2 reps)
+        if not fits(name, need_s):
+            return
         try:
-            t = _time_calls(outer(lmp), (params,), 1, warmup=1, reps=2)
+            t = _time_calls(outer(lmp), (params,), 1, warmup=1, reps=2,
+                            readback=True)
             extra[name] = round(t, 3)
             _progress(name, extra[name])
         except Exception as e:   # noqa: BLE001 - report, don't die
             print(f"{name} failed: {e}", file=sys.stderr)
             extra[name] = None
+
+    # headline LM number runs BEFORE m1: under budget pressure (tunnel
+    # latency varies ~2x run to run) the secondary variants drop first
+    if variants:
+        run_variant(*variants[0], 90)
+
+
+    # ---- million-Gaussian configuration (reference 24 GB envelope) -----
+    if on_tpu and not args.quick and not args.skip_1m \
+            and fits("m1", 120):
+        try:
+            P1 = 1 << 20
+            p1, a1 = random_gaussians(np.random.default_rng(2), n=P1,
+                                      capacity=P1, num_images=1, spread=1.5,
+                                      scale_range=(-5.5, -3.5))
+            # pack=8 shrinks the HBM stream 8x; bucket=4 bins records at
+            # 64x64-pixel granularity — the m1 kernel early-exits after
+            # reading ~20% of the stream, so the row-bound sort/gather
+            # dominate and 4x fewer records bought fwd 460 -> 152 ms,
+            # fwd+bwd 1392 -> 455 ms (r5 on-chip; bucket=2 measured
+            # 239/673). Capacities from the bucket-record probe (AABB
+            # 2,207,812 / live 2,075,156) + 5%.
+            cfg1 = RasterConfig(dup_capacity=2_318_336, max_per_tile=8192,
+                                tile_chunk=64, impl="auto", pack=8,
+                                live_capacity=2_179_072, bucket=4)
+
+            @jax.jit
+            def fwd1(p, cam, bg):
+                return render(p, cam, bg, config=cfg1, alive=a1.alive).render
+
+            @jax.jit
+            def fwd_bwd1(p, cam, bg, gt):
+                def loss_fn(p):
+                    img = render(p, cam, bg, config=cfg1,
+                                 alive=a1.alive).render
+                    return jnp.mean(jnp.abs(img - gt))
+                return jax.value_and_grad(loss_fn)(p)[1].xyz
+
+            t1f = _time_calls(fwd1, (p1, camera, bg), 3)
+            t1fb = _time_calls(fwd_bwd1, (p1, camera, bg, gt), 3)
+            diag = jax.jit(lambda p, cam: render(
+                p, cam, bg, config=cfg1, alive=a1.alive).n_duplicates)
+            extra["m1"] = {"fwd_ms": round(t1f * 1e3, 3),
+                           "fwd_bwd_ms": round(t1fb * 1e3, 3),
+                           "n_gaussians": P1,
+                           "n_records": int(diag(p1, camera)),
+                           "dup_capacity": cfg1.dup_capacity}
+            _progress("m1", extra["m1"]["fwd_ms"])
+        except Exception as e:       # noqa: BLE001 - report, don't die
+            print(f"1M config failed: {e}", file=sys.stderr)
+            extra["m1"] = {"error": str(e)[:200]}
+
+    for name, lmp in variants[1:]:
+        run_variant(name, lmp, 75)
 
     _emit()
 
