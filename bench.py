@@ -269,46 +269,6 @@ def main():
     extra["adam_iter_vs_a6000"] = round(A6000_ITER_MS / (t_adam * 1e3), 4)
     _progress("adam_iter", extra["adam_iter_ms"])
 
-    # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
-    lm_cams_small = ring_camera_batch(2, lm_hw if args.quick else 540,
-                                      lm_hw if args.quick else 540)
-    lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
-                          max_per_tile=cfg.max_per_tile,
-                          tile_chunk=cfg.tile_chunk, impl=cfg.impl,
-                          live_capacity=cfg.live_capacity // 2,
-                          depth_grad=False)   # LM has no depth residual
-
-    from gslm_tpu.renderer import resolve_impl
-
-    def residual_fn(p):
-        return batch_residuals(p, lm_cams_small, bg, config=lm_cfg,
-                               disable_ssim=True, alive=aux.alive)
-
-    residual_fn_jvp = None
-    if resolve_impl(lm_cfg.impl) == "pallas":
-        jcfg = lm_cfg.replace(impl="pallas_jvp")
-
-        def residual_fn_jvp(p):
-            return batch_residuals(p, lm_cams_small, bg, config=jcfg,
-                                   disable_ssim=True, alive=aux.alive)
-
-    # J.v / J^T.u with the linearization traced INSIDE the jit: jitting a
-    # pre-built jax.vjp closure would embed the saved residuals/kernels in
-    # the program (and is how CG consumes the operators anyway — the whole
-    # solve is one jitted while_loop; see solver/cg.py).
-    fn_jvp = residual_fn_jvp or residual_fn
-    v = jax.tree.map(jnp.ones_like, params)
-    matvec = jax.jit(lambda p, vv: jax.jvp(fn_jvp, (p,), (vv,))[1])
-    matvec_T = jax.jit(lambda p, uu: jax.vjp(residual_fn, p)[1](uu)[0])
-
-    if fits("lm_operators", 60):
-        t_mv = _time_calls(matvec, (params, v), max(iters // 2, 3))
-        u = matvec(params, v)
-        t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
-        extra["lm_matvec_per_s"] = round(1.0 / t_mv, 3)
-        extra["lm_matvec_T_per_s"] = round(1.0 / t_mvT, 3)
-        _progress("lm_operators")
-
     # ---- FULL LM outer step at reference settings (SURVEY §3.2) --------
     # window 5 @1080p, 50 val views x 7 line-search alphas, cg 2:
     # the cost anatomy the LM phase must win at. Variants: staged
@@ -373,10 +333,6 @@ def main():
             print(f"{name} failed: {e}", file=sys.stderr)
             extra[name] = None
 
-    # headline LM number runs BEFORE m1: under budget pressure (tunnel
-    # latency varies ~2x run to run) the secondary variants drop first
-    if variants:
-        run_variant(*variants[0], 90)
 
 
     # ---- million-Gaussian configuration (reference 24 GB envelope) -----
@@ -424,8 +380,54 @@ def main():
             print(f"1M config failed: {e}", file=sys.stderr)
             extra["m1"] = {"error": str(e)[:200]}
 
+    # m1 first, then the LM variants, then the (3-rounds-unchanged)
+    # operator microbenchmarks last: tunnel latency varies ~2x run to
+    # run, so under the driver's 840-s budget the least-informative
+    # sections are the ones that drop
+    if variants:
+        run_variant(*variants[0], 90)
     for name, lmp in variants[1:]:
         run_variant(name, lmp, 75)
+
+    # ---- LM operators (tests/test_jvp_timing.py analog, 2x540^2) -------
+    lm_cams_small = ring_camera_batch(2, lm_hw if args.quick else 540,
+                                      lm_hw if args.quick else 540)
+    lm_cfg = RasterConfig(dup_capacity=cfg.dup_capacity // 2,
+                          max_per_tile=cfg.max_per_tile,
+                          tile_chunk=cfg.tile_chunk, impl=cfg.impl,
+                          live_capacity=cfg.live_capacity // 2,
+                          depth_grad=False)   # LM has no depth residual
+
+    from gslm_tpu.renderer import resolve_impl
+
+    def residual_fn(p):
+        return batch_residuals(p, lm_cams_small, bg, config=lm_cfg,
+                               disable_ssim=True, alive=aux.alive)
+
+    residual_fn_jvp = None
+    if resolve_impl(lm_cfg.impl) == "pallas":
+        jcfg = lm_cfg.replace(impl="pallas_jvp")
+
+        def residual_fn_jvp(p):
+            return batch_residuals(p, lm_cams_small, bg, config=jcfg,
+                                   disable_ssim=True, alive=aux.alive)
+
+    # J.v / J^T.u with the linearization traced INSIDE the jit: jitting a
+    # pre-built jax.vjp closure would embed the saved residuals/kernels in
+    # the program (and is how CG consumes the operators anyway — the whole
+    # solve is one jitted while_loop; see solver/cg.py).
+    fn_jvp = residual_fn_jvp or residual_fn
+    v = jax.tree.map(jnp.ones_like, params)
+    matvec = jax.jit(lambda p, vv: jax.jvp(fn_jvp, (p,), (vv,))[1])
+    matvec_T = jax.jit(lambda p, uu: jax.vjp(residual_fn, p)[1](uu)[0])
+
+    if fits("lm_operators", 60):
+        t_mv = _time_calls(matvec, (params, v), max(iters // 2, 3))
+        u = matvec(params, v)
+        t_mvT = _time_calls(matvec_T, (params, u), max(iters // 2, 3))
+        extra["lm_matvec_per_s"] = round(1.0 / t_mv, 3)
+        extra["lm_matvec_T_per_s"] = round(1.0 / t_mvT, 3)
+        _progress("lm_operators")
 
     _emit()
 
